@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 
 def clean_phone_number(phone: Column) -> Column:
@@ -71,16 +71,27 @@ def normalize_phone_e164(phone: pd.Series) -> pd.Series:
     return _e164_series(phone)
 
 
-def normalize_phone_array(phones: Column) -> Column:
-    """Normalize an ``array<string>`` of phones to E.164, dropping invalids.
+@pandas_udf(ArrayType(StringType()))
+def normalize_phone_list(phones: pd.Series) -> pd.Series:
+    """``array<string>`` -> E.164 array with invalids dropped, order kept.
 
-    Mirrors services/storage_service.py:93 (list-comprehension map + filter).
-    Implemented as explode-free transform: the pandas UDF runs on a
-    concat-joined representation would lose batching, so callers should
-    explode -> normalize -> collect_set when arrays are large; for the
-    short per-record arrays here (<10 items) a posexplode round-trip is
-    cheap and stays vectorized.
+    Mirrors services/storage_service.py:93 (list-comprehension map +
+    filter). Vectorized: the batch's arrays are flattened into ONE flat
+    Series, normalized in a single vectorized pass, then re-grouped by
+    offsets — no per-element Python.
     """
-    raise NotImplementedError(
-        "use explode + normalize_phone_e164 + collect_set; see operators.merge"
+    import numpy as np
+
+    lists = [p if p is not None else [] for p in phones]
+    lengths = np.fromiter((len(p) for p in lists), dtype=np.int64, count=len(lists))
+    if lengths.sum() == 0:
+        return pd.Series([[] for _ in lists])
+    flat = pd.Series(np.concatenate([np.asarray(p, dtype=object) for p in lists if len(p)]))
+    normalized = _e164_series(flat).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    return pd.Series(
+        [
+            [v for v in normalized[offsets[i] : offsets[i + 1]] if v is not None]
+            for i in range(len(lists))
+        ]
     )

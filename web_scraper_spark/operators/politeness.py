@@ -1,0 +1,101 @@
+"""Per-host politeness scheduling + hot-host skew handling (SURVEY.md H3/H4).
+
+The reference has no politeness (scope note in SURVEY.md); the graft rule:
+at most ``budget`` fetches per host per round, hosts draining in
+``(seed_idx, url)`` order — deterministic, so crawl order is reproducible.
+
+Two equivalent implementations (tested equal on the skewed fixture):
+
+- ``assign_rounds_window``: the textbook
+  ``row_number().over(Window.partitionBy(host).orderBy(...))`` then
+  ``floor(rank/budget)``. Correct everywhere, but a 10^9-URL hot host
+  serializes into a single partition's sort — the classic window-skew
+  bottleneck.
+- ``assign_rounds_range``: skew-safe two-phase ranking. Range-partition by
+  (host, seed_idx, url) so one hot host SPANS partitions while order is
+  globally preserved; compute local per-host ranks in one Arrow pass; add
+  per-(partition, host) prefix offsets computed from a tiny counts table
+  (one row per host-fragment — #hosts + #partitions rows, driver-safe).
+  No shuffle of the big table beyond the range partitioning itself.
+
+Salting (``salted_key``) is for the *fetch stage* partitioning — split a
+hot host across S sub-partitions so its within-round fetches parallelize;
+the politeness rank is computed per real host BEFORE salting (SURVEY.md §7
+hard-part 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+ORDER_COLS = ["seed_idx", "url"]
+
+
+def assign_rounds_window(frontier: DataFrame, budget: int) -> DataFrame:
+    """rank/round via a plain window — the semantics baseline."""
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER_COLS])
+    return frontier.withColumn(
+        "round_offset",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(budget)).cast("long"),
+    )
+
+
+def assign_rounds_range(frontier: DataFrame, budget: int) -> DataFrame:
+    """Skew-safe equivalent: range partition + local ranks + tiny prefix
+    offsets joined back (broadcast)."""
+    import pandas as pd
+
+    parted = frontier.repartitionByRange(
+        F.col("host"), *[F.col(c) for c in ORDER_COLS]
+    ).sortWithinPartitions("host", *ORDER_COLS)
+    # cache: the counts collect and the ranked pass must see the SAME
+    # range partitioning (repartitionByRange samples to pick boundaries)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id()).cache()
+
+    # tiny table: rows = host fragments (≈ #hosts + #partitions)
+    counts = (
+        with_pid.groupBy("_pid", "host").count().collect()
+    )
+    prefix: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for row in sorted(counts, key=lambda r: (r["host"], r["_pid"])):
+        prefix[(row["_pid"], row["host"])] = running.get(row["host"], 0)
+        running[row["host"]] = running.get(row["host"], 0) + row["count"]
+    prefix_rows = [(pid, host, off) for (pid, host), off in prefix.items()]
+    spark = frontier.sparkSession
+    prefix_df = spark.createDataFrame(
+        prefix_rows, "_pid int, host string, _offset long"
+    )
+
+    # local rank within (pid, host): partitions are sorted, so a window
+    # over (_pid, host) never crosses partitions -> no skew re-shuffle
+    w = Window.partitionBy("_pid", "host").orderBy(*[F.col(c) for c in ORDER_COLS])
+    ranked = with_pid.withColumn("_local_rank", F.row_number().over(w) - F.lit(1))
+    out = (
+        ranked.join(F.broadcast(prefix_df), ["_pid", "host"], "left")
+        .withColumn(
+            "round_offset",
+            ((F.col("_local_rank") + F.coalesce(F.col("_offset"), F.lit(0))) / F.lit(budget)).cast("long"),
+        )
+        .drop("_pid", "_local_rank", "_offset")
+    )
+    return out
+
+
+def assign_rounds(frontier: DataFrame, budget: int | None, method: str = "window") -> DataFrame:
+    """Adds ``round_offset`` (0 = fetch this round). budget=None -> all 0."""
+    if budget is None:
+        return frontier.withColumn("round_offset", F.lit(0).cast("long"))
+    if method == "range":
+        return assign_rounds_range(frontier, budget)
+    return assign_rounds_window(frontier, budget)
+
+
+def salted_key(host: Column, url: Column, salt_buckets: int = 16) -> Column:
+    """Fetch-stage partitioning key: ``host#pmod(xxhash64(url), S)`` —
+    splits a hot host across S partitions (SURVEY.md H4)."""
+    return F.concat(
+        host, F.lit("#"), F.pmod(F.xxhash64(url), F.lit(salt_buckets)).cast("string")
+    )

@@ -1,0 +1,189 @@
+"""Partitioned URL-seen set (SURVEY.md F1 graft) — exact and Bloom modes.
+
+The reference's seen set is an in-memory Python set at the seed producer
+(run_url_producer.py:24,41-43). At a 10^10-URL frontier that set is ~1 TB
+of strings — so the graft design is: canonicalize -> ``xxhash64`` ->
+partition by hash -> per-partition membership.
+
+Two interchangeable implementations behind ``URLSeenSet``:
+
+- **exact** (default; correctness runs): the seen set is a SnapshotTable
+  ``url_seen(hash, url)`` bucketed by hash; novelty = left-anti join on
+  (hash, url). This is itself scalable — a sort-merge anti-join against a
+  hash-partitioned table — just heavier than Bloom at the extreme tail.
+  False-positive budget 0 (BASELINE.md requirement for parity runs).
+- **bloom** (bench scale): per-partition numpy bitsets persisted as
+  binary blobs in ``url_seen_bloom(partition_id, bits)``. Candidates are
+  repartitioned by ``pmod(xxhash64(url), P)`` and each partition's bitset
+  is tested/updated inside one Arrow-batched ``applyInPandas`` cogroup —
+  membership state never leaves the executors except as the updated
+  blobs. False positives drop URLs (never re-fetch), which is the
+  standard crawler trade; size the bitset for the target FP rate.
+
+Both modes expose: ``filter_new(candidates) -> new_urls`` and
+``add(urls)``; parity tests run both and assert identical output on
+fixture scale (where Bloom is sized to zero collisions).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from web_scraper_spark.sources.tables import SnapshotTable
+
+_SEEN_SCHEMA = "hash long, url string"
+
+
+class URLSeenSet:
+    """Exact-mode seen set over a SnapshotTable."""
+
+    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32):
+        self.spark = spark
+        self.table = SnapshotTable(spark, root)
+        self.num_buckets = num_buckets
+
+    def _with_hash(self, urls: DataFrame) -> DataFrame:
+        return urls.withColumn("hash", F.xxhash64(F.col("url")))
+
+    def filter_new(self, candidates: DataFrame) -> DataFrame:
+        """Rows of ``candidates`` whose ``url`` is not in the seen set.
+        Duplicate urls WITHIN the batch are kept (reference F5 semantics:
+        cross-page duplicates in one round are all fetched); callers that
+        want batch-level dedup do it explicitly."""
+        seen = self.table.read()
+        if seen is None:
+            return candidates
+        cand = self._with_hash(candidates)
+        # anti-join on (hash, url): hash prunes via sort-merge/bloom pushdown,
+        # url equality makes it exact
+        out = cand.join(
+            seen.withColumnRenamed("url", "_seen_url"),
+            (cand["hash"] == seen["hash"]) & (cand["url"] == F.col("_seen_url")),
+            "left_anti",
+        )
+        return out.drop("hash")
+
+    def add(self, urls: DataFrame) -> None:
+        """Insert (idempotent — duplicates collapse on next compact)."""
+        batch = self._with_hash(urls.select("url").dropDuplicates(["url"]))
+        batch = batch.repartition(self.num_buckets, F.col("hash"))
+        self.table.append(batch.select("hash", "url"))
+
+    def snapshot_urls(self) -> DataFrame:
+        seen = self.table.read()
+        if seen is None:
+            return self.spark.createDataFrame([], "url string")
+        return seen.select("url").dropDuplicates(["url"])
+
+
+_BLOOM_STATE_SCHEMA = StructType(
+    [
+        StructField("partition_id", IntegerType()),
+        StructField("bits", BinaryType()),
+    ]
+)
+_BLOOM_OUT_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),  # 'url' | 'bits'
+        StructField("url", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("bits", BinaryType()),
+    ]
+)
+
+
+def _bloom_positions(hashes: np.ndarray, k: int, m: int) -> np.ndarray:
+    """k positions per hash via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher); vectorized numpy, shape (n, k)."""
+    h1 = hashes.astype(np.uint64)
+    h2 = (hashes * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+class BloomURLSeenSet:
+    """Bloom-mode seen set: per-partition bitsets in a SnapshotTable.
+
+    ``bits_per_partition`` defaults to 2^23 bits (1 MiB) per partition;
+    with k=7 that holds ~600k URLs/partition at <1% FP. Size up for the
+    10^10 design point: 1024 partitions x 2^33 bits = 1 TiB of bitset
+    spread across executors, ~10^10 URLs at <1% FP.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_partitions: int = 32,
+        bits_per_partition: int = 1 << 23,
+        num_hashes: int = 7,
+    ):
+        self.spark = spark
+        self.table = SnapshotTable(spark, root)
+        self.P = num_partitions
+        self.m = bits_per_partition
+        self.k = num_hashes
+
+    def _state(self) -> DataFrame:
+        df = self.table.read()
+        if df is None:
+            return self.spark.createDataFrame([], _BLOOM_STATE_SCHEMA)
+        return df
+
+    def filter_and_add(self, candidates: DataFrame) -> DataFrame:
+        """One pass: returns novel rows AND persists updated bitsets.
+        (Bloom can't separate test from insert cheaply across a round;
+        exact mode keeps the two-step API.)"""
+        m, k = self.m, self.k
+
+        cand = candidates.withColumn("hash", F.xxhash64(F.col("url"))).withColumn(
+            "partition_id", F.pmod(F.col("hash"), F.lit(self.P)).cast("int")
+        )
+        state = self._state()
+
+        def merge(key, cand_iter: pd.DataFrame, state_df: pd.DataFrame) -> pd.DataFrame:
+            pid = int(key[0])
+            if len(state_df) and state_df["bits"].iloc[0] is not None:
+                bits = np.frombuffer(state_df["bits"].iloc[0], dtype=np.uint8).copy()
+            else:
+                bits = np.zeros(m // 8, dtype=np.uint8)
+            out_urls: list[str] = []
+            if len(cand_iter):
+                # fully vectorized: dedup batch, test all, then set bits
+                cand_iter = cand_iter.drop_duplicates("url").sort_values(
+                    "url", kind="mergesort"
+                )
+                hashes = cand_iter["hash"].to_numpy().astype(np.int64).view(np.uint64)
+                pos = _bloom_positions(hashes, k, m)
+                bytes_idx = pos >> 3
+                masks = (1 << (pos & 7)).astype(np.uint8)
+                present = ((bits[bytes_idx] & masks) == masks).all(axis=1)
+                fresh = ~present
+                np.bitwise_or.at(bits, bytes_idx[fresh].ravel(), masks[fresh].ravel())
+                out_urls = list(cand_iter["url"].to_numpy()[fresh])
+            rows = [{"kind": "url", "url": u, "partition_id": pid, "bits": None} for u in out_urls]
+            rows.append({"kind": "bits", "url": None, "partition_id": pid, "bits": bits.tobytes()})
+            return pd.DataFrame(rows, columns=["kind", "url", "partition_id", "bits"])
+
+        result = (
+            cand.groupBy("partition_id")
+            .cogroup(state.groupBy("partition_id"))
+            .applyInPandas(merge, _BLOOM_OUT_SCHEMA)
+        )
+        result = result.cache()
+        new_bits = result.where(F.col("kind") == "bits").select("partition_id", "bits")
+        # carry forward untouched partitions' bitsets
+        untouched = state.join(new_bits.select("partition_id"), "partition_id", "left_anti")
+        self.table.overwrite(new_bits.unionByName(untouched))
+        novel = result.where(F.col("kind") == "url").select("url")
+        # keep `result` cached: `out` is lazy and must not recompute the
+        # cogroup after the state table has been overwritten
+        return candidates.join(novel, "url", "left_semi")

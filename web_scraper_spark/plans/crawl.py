@@ -1,0 +1,370 @@
+"""The crawl pipeline: iterative BFS frontier over snapshot tables.
+
+Spark translation of the reference's Kafka loop (SURVEY.md §3.1):
+
+    seeds -> prepare/dedup -> [per depth: politeness rounds ->
+    fetch -> extract -> merge-records / land-images / log] ->
+    names MERGE -> company_records
+
+Each global round is one snapshot-committed micro-batch (tag
+``round-N``), so a killed driver resumes from the last committed round
+with identical final state (SURVEY.md H5; tested in
+tests/test_crawl_parity.py::test_resume).
+
+Scale notes (the part that matters at 10^10 URLs / 1000 executors):
+- the frontier only ever shuffles on its politeness keys (host) and the
+  seen-set hash — both explicit, both salted/range-partitioned against
+  hot-host skew (operators/politeness.py),
+- raw HTML bytes never shuffle: fetch -> extract happen in the same
+  stage (the fetch join's output feeds the extraction UDF pipelined,
+  no exchange between them — check ``.explain``),
+- the merge is a per-round groupBy(domain) of *extracted arrays* (tiny
+  compared to HTML) + a keyed table MERGE,
+- crawl-order logging appends only (round, depth, seed_idx, url).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_scraper_spark.functions.names import normalize_company_name, best_name
+from web_scraper_spark.functions.phones import normalize_phone_list
+from web_scraper_spark.functions.social import normalize_social_profile
+from web_scraper_spark.functions.urls import (
+    canonicalize_url,
+    domain_from_url,
+    host_of,
+    prepare_url,
+)
+from web_scraper_spark.operators.extract import extract_all
+from web_scraper_spark.operators.images import land_images
+from web_scraper_spark.operators.politeness import assign_rounds
+from web_scraper_spark.operators.seen import URLSeenSet
+from web_scraper_spark.sources.fetch import fetch_join
+from web_scraper_spark.sources.tables import SnapshotTable, merge_company_records
+
+FRONTIER_SCHEMA = (
+    "url string, host string, depth int, seed_idx long, seed_url string, "
+    "caption string, round_offset long"
+)
+
+
+@dataclass
+class CrawlResult:
+    crawl_log: DataFrame  # (round, depth, seed_idx, url)
+    url_seen: DataFrame  # (url)
+    company_records: DataFrame
+    images: DataFrame
+    metrics: DataFrame
+    rounds: int
+
+
+def _seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
+    """Seed stage (A1/B1/F1): CSV order, skip blanks, prepare, first-
+    occurrence dedup, seed_idx = acceptance order."""
+    rows = [(i, s) for i, s in enumerate(seeds)]
+    raw = spark.createDataFrame(rows, "row_idx long, raw string")
+    prepared = (
+        raw.where(F.trim(F.coalesce(F.col("raw"), F.lit(""))) != "")
+        .withColumn("url", prepare_url(F.col("raw")))
+    )
+    first = prepared.groupBy("url").agg(F.min("row_idx").alias("first_row"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("first_row")
+    return (
+        first.withColumn(
+            "seed_idx", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+        .select(
+            "url",
+            host_of(F.col("url")).alias("host"),
+            F.lit(0).cast("int").alias("depth"),
+            "seed_idx",
+            F.col("url").alias("seed_url"),
+            F.lit(None).cast("string").alias("caption"),
+        )
+    )
+
+
+def _prepare_record_batch(extracted: DataFrame) -> DataFrame:
+    """Per-round extracted rows -> one merge row per domain
+    (storage_service.py:86-94 projections + within-batch combine in
+    canonical (seed_idx, url) order)."""
+    rec = (
+        extracted.withColumn("domain", domain_from_url(F.col("seed_url")))
+        .where(F.col("domain").isNotNull())
+        .select(
+            "domain",
+            "seed_idx",
+            F.col("seed_url").alias("url"),
+            "phone_numbers",
+            "social_media_links",
+            "addresses",
+            F.filter(
+                F.transform(
+                    F.col("social_media_links"),
+                    lambda s: normalize_social_profile(s),
+                ),
+                lambda p: p.isNotNull(),
+            ).alias("social_media_profiles"),
+            normalize_phone_list(F.col("phone_numbers")).alias(
+                "normalized_phone_numbers"
+            ),
+        )
+    )
+    combined = rec.groupBy("domain").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "seed_idx", "url", "phone_numbers", "social_media_links",
+                    "addresses", "social_media_profiles", "normalized_phone_numbers",
+                )
+            )
+        ).alias("rs")
+    )
+
+    def flat(c: str):
+        return F.array_distinct(
+            F.flatten(F.transform(F.col("rs"), lambda r: r[c]))
+        ).alias(c)
+
+    return combined.select(
+        "domain",
+        flat("phone_numbers"),
+        flat("social_media_links"),
+        flat("addresses"),
+        flat("social_media_profiles"),
+        flat("normalized_phone_numbers"),
+        F.element_at(F.col("rs"), -1)["url"].alias("url"),
+        F.lit(None).cast("string").alias("company_name"),
+        F.lit(None).cast("string").alias("searchable_name"),
+    )
+
+
+def run_crawl(
+    spark: SparkSession,
+    seeds: list[str],
+    web: DataFrame,
+    names_rows: list[tuple] | None = None,
+    *,
+    workdir: str,
+    politeness_budget: int | None = None,
+    politeness_method: str = "window",
+    dedup_contacts: bool = False,
+    resume: bool = False,
+    max_depth: int = 1,
+) -> CrawlResult:
+    """Run (or resume) the full crawl. ``dedup_contacts=False`` mirrors
+    the reference's duplicate-fetch behavior (SURVEY.md F5); True enables
+    the graft's full URL-seen dedup at every depth."""
+    frontier_t = SnapshotTable(spark, os.path.join(workdir, "frontier"))
+    log_t = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
+    records_t = SnapshotTable(spark, os.path.join(workdir, "company_records"))
+    images_t = SnapshotTable(spark, os.path.join(workdir, "images"))
+    metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"))
+    seen = URLSeenSet(spark, os.path.join(workdir, "url_seen"))
+
+    web = web.cache()
+
+    # state = active (current-depth rows with round_offset >= 0) ∪ staged
+    # (next-depth rows, sentinel round_offset == -1, politeness-assigned
+    # only when the current depth drains — mirrors the oracle's per-depth
+    # rounds_for batching)
+    if resume and frontier_t.last_tag() is not None:
+        tag = frontier_t.last_tag()
+        state = frontier_t.read_at_tag(tag).cache()
+        round_no = int(tag.rsplit("-", 1)[1]) + 1
+        active = state.where(F.col("round_offset") >= 0)
+        staged = state.where(F.col("round_offset") == -1).drop("round_offset")
+    else:
+        # fresh run: clear any stale state from a previous run in this dir
+        for t in (frontier_t, log_t, records_t, images_t, metrics_t, seen.table):
+            t.reset()
+        seeds_df = _seed_frontier(spark, seeds).cache()
+        seen.add(seeds_df.select("url"))
+        active = assign_rounds(seeds_df, politeness_budget, politeness_method)
+        staged = spark.createDataFrame([], FRONTIER_SCHEMA).drop("round_offset")
+        round_no = 0
+
+    while True:
+        if active.isEmpty():
+            if staged.isEmpty():
+                break
+            active = assign_rounds(staged, politeness_budget, politeness_method)
+            staged = spark.createDataFrame([], FRONTIER_SCHEMA).drop("round_offset")
+        active = active.cache()
+        current = active.where(F.col("round_offset") == 0)
+        rest = active.where(F.col("round_offset") > 0).withColumn(
+            "round_offset", F.col("round_offset") - 1
+        )
+
+        depth_now = current.agg(F.min("depth")).collect()[0][0]
+
+        # ---- log fetch attempts (canonical crawl order, SURVEY.md §3.4)
+        log_t.append(
+            current.select(
+                F.lit(round_no).alias("round"),
+                F.col("depth"),
+                F.col("seed_idx"),
+                canonicalize_url(F.col("url")).alias("url"),
+            ),
+            tag=None,
+        )
+
+        # ---- fetch + route --------------------------------------------
+        fetched = fetch_join(current, web).cache()
+        html_ok = fetched.where(
+            (F.col("status") == 200) & F.col("content_type").contains("text/html")
+        )
+        image_ok = fetched.where(
+            (F.col("status") == 200) & F.col("content_type").startswith("image/")
+        )
+
+        # ---- extract (same stage as fetch — HTML never shuffles) ------
+        extracted = html_ok.select(
+            "seed_idx",
+            "seed_url",
+            "depth",
+            "url",
+            extract_all(
+                F.col("seed_url"),
+                F.col("body").cast("string"),
+                F.when(F.col("depth") > 0, F.col("url")).otherwise(F.lit("")),
+            ).alias("ex"),
+        ).select("seed_idx", "seed_url", "depth", "url", "ex.*").cache()
+
+        # ---- merge extracted records ----------------------------------
+        batch = _prepare_record_batch(extracted)
+        if not batch.isEmpty():
+            merge_company_records(records_t, batch)
+
+        # ---- land images (graft route; reference drops these) ---------
+        if not image_ok.isEmpty():
+            landed = land_images(image_ok.select("url", "caption", "body"))
+            existing = images_t.read()
+            if existing is not None:
+                # duplicate discoveries can split across politeness
+                # sub-rounds; the landing table is keyed by image_id
+                landed = landed.join(
+                    existing.select("image_id"), "image_id", "left_anti"
+                )
+            images_t.append(landed)
+
+        # ---- metrics + lineage ----------------------------------------
+        lineage = (
+            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("attempted"),
+                F.sum((F.col("status") == 200).cast("long")).alias("ok"),
+            )
+            .select(
+                F.lit(round_no).alias("round"),
+                F.lit(depth_now).alias("depth"),
+                "partition_id",
+                "attempted",
+                "ok",
+            )
+        )
+        metrics_t.append(lineage)
+
+        # ---- next frontier --------------------------------------------
+        contacts = (
+            extracted.where(F.col("depth") < max_depth)
+            .select(
+                "seed_idx",
+                "seed_url",
+                F.explode("contact_links").alias("url"),
+            )
+            .withColumn("caption", F.lit(None).cast("string"))
+        )
+        image_links = (
+            # images are discovered on depth-0 pages only (contact pages
+            # carry none in the fixture; the oracle pins the same rule)
+            extracted.where(F.col("depth") == 0)
+            .select(
+                "seed_idx",
+                "seed_url",
+                F.explode("images").alias("img"),
+            )
+            .select(
+                "seed_idx", "seed_url",
+                F.col("img.src").alias("url"),
+                F.col("img.caption").alias("caption"),
+            )
+        )
+        discovered = contacts.unionByName(image_links).withColumn(
+            "host", host_of(F.col("url"))
+        )
+        if dedup_contacts:
+            discovered = discovered.dropDuplicates(["url"])
+            discovered = seen.filter_new(discovered)
+        if not discovered.isEmpty():
+            seen.add(discovered.select("url"))
+        next_depth = discovered.select(
+            "url", "host",
+            (F.lit(depth_now) + 1).cast("int").alias("depth"),
+            "seed_idx", "seed_url", "caption",
+        )
+        staged = staged.unionByName(next_depth)
+
+        # ---- checkpoint: active' ∪ staged under one tag ----------------
+        checkpoint = rest.unionByName(
+            staged.withColumn("round_offset", F.lit(-1).cast("long"))
+        )
+        frontier_t.overwrite(checkpoint, tag=f"round-{round_no}")
+        round_no += 1
+        active = frontier_t.read_at_tag(f"round-{round_no - 1}").where(
+            F.col("round_offset") >= 0
+        )
+        staged = frontier_t.read_at_tag(f"round-{round_no - 1}").where(
+            F.col("round_offset") == -1
+        ).drop("round_offset")
+        fetched.unpersist()
+        extracted.unpersist()
+
+    # ---- names side-input MERGE (SURVEY.md §3.2, scalars last) --------
+    if names_rows:
+        names_df = spark.createDataFrame(
+            names_rows, "domain string, commercial string, legal string, alln string"
+        )
+        names_batch = (
+            names_df.withColumn("dom", domain_from_url(F.col("domain")))
+            .where(F.col("dom").isNotNull())
+            .withColumn(
+                "name", best_name(F.col("legal"), F.col("commercial"), F.col("alln"))
+            )
+            .where(F.col("name").isNotNull())
+            .select(
+                F.col("dom").alias("domain"),
+                F.array().cast("array<string>").alias("phone_numbers"),
+                F.array().cast("array<string>").alias("social_media_links"),
+                F.array().cast("array<string>").alias("addresses"),
+                F.array().cast("array<string>").alias("social_media_profiles"),
+                F.array().cast("array<string>").alias("normalized_phone_numbers"),
+                prepare_url(F.col("domain")).alias("url"),
+                F.col("name").alias("company_name"),
+                normalize_company_name(F.col("name")).alias("searchable_name"),
+            )
+        )
+        merge_company_records(records_t, names_batch)
+
+    empty_records = spark.createDataFrame(
+        [],
+        "domain string, phone_numbers array<string>, social_media_links array<string>, "
+        "addresses array<string>, social_media_profiles array<string>, "
+        "normalized_phone_numbers array<string>, url string, company_name string, "
+        "searchable_name string",
+    )
+    return CrawlResult(
+        crawl_log=log_t.read(),
+        url_seen=seen.snapshot_urls(),
+        company_records=records_t.read() if records_t.exists() else empty_records,
+        images=images_t.read() if images_t.exists() else None,
+        metrics=metrics_t.read(),
+        rounds=round_no,
+    )

@@ -1,0 +1,183 @@
+"""SnapshotTable — a minimal snapshot-versioned parquet table.
+
+The production design calls for Apache Iceberg (SURVEY.md A7/H5): frontier
+rounds committed atomically, tagged snapshots for resume, MERGE INTO for
+the keyed upsert. No Iceberg runtime jar ships in this container, so this
+module provides the same *contract* on plain parquet + a JSON manifest:
+
+- every commit writes new parquet directories, then atomically renames a
+  new manifest into place (POSIX rename = the commit point),
+- snapshots are immutable lists of data directories (append = old + new),
+- readers load the manifest's current snapshot only — a crashed writer
+  leaves orphan directories, never a torn table,
+- ``tag`` marks round checkpoints; ``resume`` finds the last committed one.
+
+On a real cluster, swap this class for Iceberg's Spark catalog: ``append``
+-> ``df.writeTo(t).append()``, ``overwrite`` -> ``overwritePartitions``,
+``merge_into`` -> SQL ``MERGE INTO`` — call sites keep the same shape.
+
+NOTE on scale: the manifest lists directories, not files, so manifest size
+grows with commits, not rows; data files are written once and never
+rewritten (append-only log + periodic compaction hook below).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"snapshots": [], "current": None}
+
+    def _commit(self, dirs: list[str], tag: str | None, parent: dict) -> None:
+        manifest = parent
+        snap_id = (manifest["current"] or 0) + 1
+        manifest["snapshots"].append(
+            {"id": snap_id, "dirs": dirs, "tag": tag, "ts": time.time()}
+        )
+        manifest["current"] = snap_id
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+
+    def _new_data_dir(self) -> str:
+        return os.path.join(self.root, "data", uuid.uuid4().hex)
+
+    def _current_dirs(self, manifest: dict | None = None) -> list[str]:
+        manifest = manifest or self._read_manifest()
+        if manifest["current"] is None:
+            return []
+        snap = next(s for s in manifest["snapshots"] if s["id"] == manifest["current"])
+        return snap["dirs"]
+
+    # -- public API ---------------------------------------------------------
+    def exists(self) -> bool:
+        return self._read_manifest()["current"] is not None
+
+    def read(self) -> DataFrame | None:
+        dirs = self._current_dirs()
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def append(self, df: DataFrame, tag: str | None = None) -> None:
+        manifest = self._read_manifest()
+        path = self._new_data_dir()
+        df.write.mode("overwrite").parquet(path)
+        self._commit(self._current_dirs(manifest) + [path], tag, manifest)
+
+    def overwrite(self, df: DataFrame, tag: str | None = None) -> None:
+        manifest = self._read_manifest()
+        path = self._new_data_dir()
+        df.write.mode("overwrite").parquet(path)
+        self._commit([path], tag, manifest)
+
+    def last_tag(self) -> str | None:
+        manifest = self._read_manifest()
+        for snap in reversed(manifest["snapshots"]):
+            if snap["id"] <= (manifest["current"] or 0) and snap["tag"]:
+                return snap["tag"]
+        return None
+
+    def tags(self) -> list[str]:
+        manifest = self._read_manifest()
+        return [s["tag"] for s in manifest["snapshots"] if s["tag"]]
+
+    def read_at_tag(self, tag: str) -> DataFrame | None:
+        manifest = self._read_manifest()
+        for snap in reversed(manifest["snapshots"]):
+            if snap["tag"] == tag:
+                if not snap["dirs"]:
+                    return None
+                return self.spark.read.parquet(*snap["dirs"])
+        return None
+
+    def reset(self) -> None:
+        """Commit an empty snapshot — a fresh run over a dirty workdir
+        must not read stale state. Old snapshots stay readable by tag."""
+        manifest = self._read_manifest()
+        if manifest["current"] is not None:
+            self._commit([], None, manifest)
+
+    def compact(self) -> None:
+        """Rewrite the current snapshot as one directory (the Iceberg
+        analogue is rewrite_data_files). Call between crawl epochs."""
+        df = self.read()
+        if df is None:
+            return
+        manifest = self._read_manifest()
+        path = self._new_data_dir()
+        df.write.mode("overwrite").parquet(path)
+        self._commit([path], None, manifest)
+
+
+def merge_company_records(
+    target: SnapshotTable, batch: DataFrame
+) -> None:
+    """MERGE INTO company_records semantics (reference
+    storage_service.py:55-112): per-domain list union-dedup (first-seen
+    order preserved), non-null scalar overwrite, skeleton on first insert.
+
+    On Iceberg this is a single ``MERGE INTO`` statement; here it is a
+    full-outer join + overwrite of the (bucketed-by-domain) table.
+    """
+    from pyspark.sql import functions as F
+
+    current = target.read()
+    if current is None:
+        target.overwrite(batch, tag=None)
+        return
+
+    list_cols = [
+        "phone_numbers", "social_media_links", "addresses",
+        "social_media_profiles", "normalized_phone_numbers",
+    ]
+    scalar_cols = ["url", "company_name", "searchable_name"]
+
+    t = current.alias("t")
+    s = batch.alias("s")
+    joined = t.join(s, on="domain", how="full_outer")
+    merged = joined.select(
+        F.col("domain"),
+        *[
+            # list union keeping first-seen order: existing ++ (new - existing)
+            F.when(
+                F.col(f"t.{c}").isNull(), F.coalesce(F.col(f"s.{c}"), F.array())
+            )
+            .when(F.col(f"s.{c}").isNull(), F.col(f"t.{c}"))
+            .otherwise(
+                F.concat(
+                    F.col(f"t.{c}"),
+                    F.array_except(F.col(f"s.{c}"), F.col(f"t.{c}")),
+                )
+            )
+            .alias(c)
+            for c in list_cols
+        ],
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in scalar_cols
+        ],
+    )
+    target.overwrite(merged)
