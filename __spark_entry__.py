@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship crawl-shaped pipeline on sf0.001.
+``queries()``/``oracle_sql()``: one entry per implemented operator from
+SURVEY.md §2 plus the training-data ops, defined in
+``web_scraper_spark/plans/contract*.py`` and DuckDB-checked by the driver.
 """
 
 from __future__ import annotations
@@ -15,24 +14,65 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's merge pipeline shape on sf0.001 —
+    seed-dedup -> semi-join scope gate -> keyed merge -> weighted top-1
+    per group (SURVEY.md E1/E5/F1/E6 composed)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+
+    merged = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("o_orderpriority"))).alias("priorities"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    scored = (
+        customer.join(merged, customer["c_custkey"] == merged["o_custkey"], "inner")
+        .withColumn(
+            "score",
+            F.lit(10.0) * F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+            + F.col("total") / F.lit(100000.0),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("score"), F.asc("c_custkey"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_nationkey", "c_custkey", "c_name", "n_orders",
+            F.round("score", 4).alias("score"),
+            F.array_join("priorities", "|").alias("priorities"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from web_scraper_spark.plans.contract import QUERIES as base
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(base)
+    try:
+        from web_scraper_spark.plans.contract_training import QUERIES as training
+
+        out.update(training)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from web_scraper_spark.plans.contract import ORACLES as base
+
+    out = dict(base)
+    try:
+        from web_scraper_spark.plans.contract_training import ORACLES as training
+
+        out.update(training)
+    except ImportError:
+        pass
+    return out
