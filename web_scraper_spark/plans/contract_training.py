@@ -1,0 +1,591 @@
+"""Driver-contract queries, part 2: large-scale training-data pipeline
+operators over the ``documents`` and ``embeddings`` tables (plus TPC-H
+flagship aggregations) — deduplication, similarity search, text analysis.
+
+Portable hashing: both engines compute
+``hash60(s) = int(md5(s)[:15], 16)`` — Spark
+``conv(substring(md5(s),1,15),16,10)::long``, DuckDB
+``CAST('0x'||substr(md5(s),1,15) AS BIGINT)`` — a 60-bit deterministic
+hash identical across engines, used for minhash/simhash/fingerprints.
+
+Scale notes: every dedup here is shuffle-minimal by construction —
+exact dedup shuffles once on the content hash; MinHash-LSH shuffles on
+(band, value) buckets (never all-pairs); SimHash groups by fingerprint;
+embedding near-dup buckets by sign-LSH before any pairwise work. The
+pairwise step always runs inside buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_scraper_spark.plans.contract import ORACLES, QUERIES, register, _t
+
+N_MINHASH = 8
+
+
+def hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(col), " ")
+
+
+def _shingles(words: Column) -> Column:
+    """Word 3-gram shingles (positions 1..max(size-2,1), 1-based — the
+    floor avoids Spark's descending sequence(1,0) on tiny docs)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+
+
+_SQL_SHINGLES = (
+    "[array_to_string(words[i:i+2], ' ') "
+    "for i in range(1, greatest(len(words) - 1, 2))]"
+)
+_SQL_H60 = "CAST('0x' || substr(md5({}),1,15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Dedup 1 — exact content dedup (hash-groupBy; one shuffle on md5)
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("group_size"))
+    )
+
+
+# Dedup 2 — MinHash + LSH candidate pairs (shingle -> 8 minhashes ->
+# band buckets -> within-bucket pair join; never all-pairs)
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
+    ),
+    mh AS (
+      SELECT doc_id, band,
+             list_min(list_transform(shingles,
+                      s -> {_SQL_H60.format("band || ':' || s")})) AS minhash
+      FROM sh, (SELECT unnest(range({N_MINHASH})) AS band)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+    FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash
+                        AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    sh = d.select("doc_id", _shingles(words).alias("shingles"))
+    bands = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("band"))
+    mh = sh.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "band",
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: hash60(F.concat(F.col("band").cast("string"), F.lit(":"), s)),
+            )
+        ).alias("minhash"),
+    )
+    a = mh.alias("a")
+    b = mh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_bands"))
+    )
+
+
+# Dedup 3 — SimHash (16-bit) document fingerprint
+@register(
+    "dedup_simhash",
+    f"""
+    SELECT doc_id,
+           list_sum([CASE WHEN bitsum > 0 THEN 1 << b ELSE 0 END
+                     for b, bitsum in zip_lists(range(16), sums)])::BIGINT AS simhash16
+    FROM (
+      SELECT doc_id,
+             [sum_pm(h, b) for b in range(16)] AS sums
+      FROM ...
+    )
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w")
+    ).withColumn("h", hash60(F.col("w")))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    simhash = None
+    for b in range(16):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return sums.select("doc_id", simhash.cast("long").alias("simhash16"))
+
+
+# real oracle for simhash (the decorator above used a placeholder)
+ORACLES["dedup_simhash"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_H60.format("w")} AS h
+      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+    ),
+    sums AS (
+      SELECT doc_id,
+             {", ".join(f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16))}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash16
+    FROM sums
+"""
+
+
+# Dedup 4 — n-gram Jaccard within length buckets
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id, n_chars // 50 AS bucket,
+             list_distinct([substr(head, i, 4) for i in range(1, len(head) - 2)]) AS grams
+      FROM (SELECT doc_id, n_chars, substr(text, 1, 64) AS head FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)::DOUBLE AS jaccard
+    FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+          (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # substring with a dynamic start needs the expr form
+    g = d.select(
+        "doc_id",
+        (F.col("n_chars") / 50).cast("long").alias("bucket"),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(substring(text,1,64)) - 3, 1)),"
+                " i -> substring(substring(text,1,64), i, 4))"
+            )
+        ).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(jac >= 0.35)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity 1 — brute-force cosine top-k vs query vector (vec_id = 0)
+_SQL_DOT = (
+    "list_sum(list_transform(zip_lists(a.embedding, q.embedding), "
+    "p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+)
+
+
+@register("ann_cosine_topk")
+def ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    j = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("q_embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    norm_q = F.sqrt(
+        F.aggregate(
+            F.col("q_embedding"), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    cos = F.round(dot / (norm_a * norm_q), 6)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        j.select("vec_id", "label", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+
+
+ORACLES["ann_cosine_topk"] = """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, cos, rank FROM (
+      SELECT a.vec_id, a.label,
+             round(
+               list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+               (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos,
+             row_number() OVER (ORDER BY round(
+               list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+               (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) DESC,
+               a.vec_id ASC) AS rank
+      FROM embeddings a, q WHERE a.vec_id <> 0)
+    WHERE rank <= 10
+"""
+
+
+# Similarity 2 — sign-LSH bucketed near-dup pairs (the scale path: bucket
+# on 6 sign bits, pairwise only inside buckets)
+@register("neardup_embedding_cosine")
+def neardup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(1, 7):
+        bit = (F.element_at(F.col("embedding"), i) > 0).cast("int")
+        bucket = bit if bucket is None else bucket * 2 + bit
+    g = e.select("vec_id", F.col("embedding"), bucket.alias("bucket"))
+    a, b = g.alias("a"), g.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("a.embedding"), F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(F.col("b.embedding"), F.lit(0.0),
+                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    cos = dot / (na * nb)
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= 0.5)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+
+
+ORACLES["neardup_embedding_cosine"] = """
+    WITH g AS (
+      SELECT vec_id, embedding,
+             ((embedding[1] > 0)::INT * 32 + (embedding[2] > 0)::INT * 16 +
+              (embedding[3] > 0)::INT * 8 + (embedding[4] > 0)::INT * 4 +
+              (embedding[5] > 0)::INT * 2 + (embedding[6] > 0)::INT) AS bucket
+      FROM embeddings
+    )
+    SELECT vec_a, vec_b, round(cos, 6)::DOUBLE AS cos FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_sum(list_transform(range(1, 65),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+             (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+              sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+      FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE cos >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text 1 — language-ID by marker-token voting (n-gram heuristic shape)
+@register(
+    "text_langid_heuristic",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN en_hits >= 2 THEN 'en_like' ELSE 'other' END AS predicted
+    FROM (SELECT doc_id, lang,
+                 len(list_filter(string_split(trim(text), ' '),
+                     w -> w IN ('the','a','of','and','to'))) AS en_hits
+          FROM documents)
+    """,
+)
+def text_langid_heuristic(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    en_hits = F.size(
+        F.filter(
+            _words(F.col("text")),
+            lambda w: w.isin("the", "a", "of", "and", "to"),
+        )
+    )
+    return d.select(
+        "doc_id", "lang",
+        F.when(en_hits >= 2, "en_like").otherwise("other").alias("predicted"),
+    )
+
+
+# Text 2 — quality scoring (length / punct / stopword ratios)
+@register(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           n_tokens,
+           round(avg_word_len, 4)::DOUBLE AS avg_word_len,
+           round(stopword_ratio, 4)::DOUBLE AS stopword_ratio,
+           CASE WHEN n_tokens >= 20 AND avg_word_len BETWEEN 3 AND 10
+                     AND stopword_ratio BETWEEN 0.01 AND 0.5
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM (SELECT doc_id,
+                 len(words) AS n_tokens,
+                 (length(trim(text)) - len(words) + 1)::DOUBLE / greatest(len(words), 1) AS avg_word_len,
+                 len(list_filter(words, w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+                   / greatest(len(words), 1) AS stopword_ratio
+          FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS words FROM documents))
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    awl = (F.length(F.trim(F.col("text"))) - n + 1).cast("double") / F.greatest(n, F.lit(1))
+    swr = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to", "in"))
+    ).cast("double") / F.greatest(n, F.lit(1))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(awl, 4).alias("avg_word_len"),
+        F.round(swr, 4).alias("stopword_ratio"),
+        F.when(
+            (n >= 20) & awl.between(3, 10) & swr.between(0.01, 0.5), 1
+        ).otherwise(0).alias("passes_quality"),
+    )
+
+
+# Text 3 — token counting: whitespace + BPE-ish regex sub-tokens
+@register(
+    "text_token_count",
+    """
+    SELECT source,
+           sum(len(string_split(trim(text), ' ')))::BIGINT AS ws_tokens,
+           sum(len(regexp_split_to_array(lower(text), '[^a-z0-9]+')))::BIGINT AS re_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(_words(F.col("text")))).alias("ws_tokens"),
+        F.sum(F.size(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))).alias("re_tokens"),
+    )
+
+
+# Text 4 — document fingerprint (min of rolling char 8-gram hashes)
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_min([{_SQL_H60.format("substr(head, i, 8)")}
+                     for i in range(1, greatest(len(head) - 6, 2))]) AS fingerprint
+    FROM (SELECT doc_id, substr(text, 1, 96) AS head FROM documents)
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_min(
+            F.expr(
+                "transform(sequence(1, greatest(length(substring(text,1,96)) - 7, 1)),"
+                " i -> conv(substring(md5(substring(substring(text,1,96), i, 8)),1,15),16,10))"
+            ).cast("array<long>")
+        ).alias("fingerprint"),
+    )
+
+
+# Embeddings — per-label norm stats
+@register(
+    "embed_norm_stats",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 3)::DOUBLE AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embed_norm_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"), F.round(F.avg(norm), 3).alias("avg_norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shape — sessionization (gap > 30 min) in batch form
+@register(
+    "stream_sessionize",
+    """
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM (SELECT user_id,
+                 sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+          FROM (SELECT user_id, ts, event_id,
+                       epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                FROM events))
+    GROUP BY user_id
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w)
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H flagships — prove classic OLAP parity + plan quality
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)::DOUBLE AS sum_qty,
+           round(sum(l_extendedprice), 2)::DOUBLE AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS sum_disc_price,
+           round(avg(l_quantity), 4)::DOUBLE AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o_orderkey, round(revenue, 2)::DOUBLE AS revenue, o_orderpriority
+    FROM (SELECT o.o_orderkey, o.o_orderpriority,
+                 sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+                 row_number() OVER (ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                                    o.o_orderkey ASC) AS rn
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+          GROUP BY o.o_orderkey, o.o_orderpriority)
+    WHERE rn <= 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    rev = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(o["o_orderkey"], "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc(F.round(F.col("revenue"), 2)), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("o_orderkey", F.round("revenue", 2).alias("revenue"), "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)::DOUBLE AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = (SELECT min(r_name) FROM region)
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # region is 5 rows: resolving the target name driver-side is the
+    # right plan (a scalar subquery would broadcast anyway)
+    target_name = r.agg(F.min("r_name")).collect()[0][0]
+    dims = (
+        n.join(
+            F.broadcast(r.where(F.col("r_name") == target_name)),
+            n["n_regionkey"] == r["r_regionkey"],
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(dims), c["c_nationkey"] == dims["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
