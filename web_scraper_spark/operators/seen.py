@@ -100,11 +100,24 @@ _BLOOM_OUT_SCHEMA = StructType(
 )
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates the position bases from the
+    partition key. Without this, partitioning by ``hash % P`` pins the low
+    bits of every hash in a partition, collapsing ``hash % m`` (m a power
+    of two) onto m/P possible values and inflating the FP rate ~1000x."""
+    h = h + np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
 def _bloom_positions(hashes: np.ndarray, k: int, m: int) -> np.ndarray:
     """k positions per hash via double hashing h1 + i*h2 (Kirsch-
-    Mitzenmacher); vectorized numpy, shape (n, k)."""
-    h1 = hashes.astype(np.uint64)
-    h2 = (hashes * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)) | np.uint64(1)
+    Mitzenmacher) over independently mixed bases; vectorized numpy,
+    shape (n, k)."""
+    raw = hashes.astype(np.uint64)
+    h1 = _mix64(raw)
+    h2 = _mix64(raw ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)[None, :]
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
 
@@ -139,9 +152,12 @@ class BloomURLSeenSet:
         return df
 
     def filter_and_add(self, candidates: DataFrame) -> DataFrame:
-        """One pass: returns novel rows AND persists updated bitsets.
-        (Bloom can't separate test from insert cheaply across a round;
-        exact mode keeps the two-step API.)"""
+        """One pass: returns the NOVEL URLS (column ``url`` only) and
+        persists updated bitsets. Callers needing the full candidate rows
+        join against the result — the common paths (counting, enqueueing
+        plain URLs) skip that second shuffle entirely. (Bloom can't
+        separate test from insert cheaply across a round; exact mode
+        keeps the two-step API.)"""
         m, k = self.m, self.k
 
         cand = candidates.withColumn("hash", F.xxhash64(F.col("url"))).withColumn(
@@ -155,12 +171,10 @@ class BloomURLSeenSet:
                 bits = np.frombuffer(state_df["bits"].iloc[0], dtype=np.uint8).copy()
             else:
                 bits = np.zeros(m // 8, dtype=np.uint8)
-            out_urls: list[str] = []
+            frames = []
             if len(cand_iter):
                 # fully vectorized: dedup batch, test all, then set bits
-                cand_iter = cand_iter.drop_duplicates("url").sort_values(
-                    "url", kind="mergesort"
-                )
+                cand_iter = cand_iter.drop_duplicates("url")
                 hashes = cand_iter["hash"].to_numpy().astype(np.int64).view(np.uint64)
                 pos = _bloom_positions(hashes, k, m)
                 bytes_idx = pos >> 3
@@ -168,22 +182,46 @@ class BloomURLSeenSet:
                 present = ((bits[bytes_idx] & masks) == masks).all(axis=1)
                 fresh = ~present
                 np.bitwise_or.at(bits, bytes_idx[fresh].ravel(), masks[fresh].ravel())
-                out_urls = list(cand_iter["url"].to_numpy()[fresh])
-            rows = [{"kind": "url", "url": u, "partition_id": pid, "bits": None} for u in out_urls]
-            rows.append({"kind": "bits", "url": None, "partition_id": pid, "bits": bits.tobytes()})
-            return pd.DataFrame(rows, columns=["kind", "url", "partition_id", "bits"])
+                out_urls = cand_iter["url"].to_numpy()[fresh]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "kind": "url",
+                            "url": out_urls,
+                            "partition_id": pid,
+                            "bits": None,
+                        }
+                    )
+                )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": ["bits"],
+                        "url": [None],
+                        "partition_id": [pid],
+                        "bits": [bits.tobytes()],
+                    }
+                )
+            )
+            return pd.concat(frames, ignore_index=True)
 
         result = (
             cand.groupBy("partition_id")
             .cogroup(state.groupBy("partition_id"))
             .applyInPandas(merge, _BLOOM_OUT_SCHEMA)
         )
-        result = result.cache()
-        new_bits = result.where(F.col("kind") == "bits").select("partition_id", "bits")
+        # single materialization: write the mixed (urls + bitsets) output
+        # once, then carve both halves out of the parquet — caching 10^7
+        # url rows in executor memory and recomputing the cogroup are both
+        # avoided (predicate pushdown makes the bits re-read ~free)
+        import os
+        import uuid
+
+        scratch = os.path.join(self.table.root, "scratch", uuid.uuid4().hex)
+        result.write.mode("overwrite").parquet(scratch)
+        back = self.spark.read.parquet(scratch)
+        new_bits = back.where(F.col("kind") == "bits").select("partition_id", "bits")
         # carry forward untouched partitions' bitsets
         untouched = state.join(new_bits.select("partition_id"), "partition_id", "left_anti")
         self.table.overwrite(new_bits.unionByName(untouched))
-        novel = result.where(F.col("kind") == "url").select("url")
-        # keep `result` cached: `out` is lazy and must not recompute the
-        # cogroup after the state table has been overwritten
-        return candidates.join(novel, "url", "left_semi")
+        return back.where(F.col("kind") == "url").select("url")
