@@ -154,8 +154,31 @@ def simulate(
     names_rows: list[tuple[str, str, str, str]] | None = None,
     politeness_budget: int | None = None,
     route_images: bool = True,
+    use_robots: bool = False,
 ) -> OracleResult:
     web_by_canon = {canonicalize(r.url): r for r in web}
+
+    # robots rules per host (graft; mirror of sources/robots.py semantics).
+    # Robots fetches are bookkeeping — not part of the crawl order.
+    robots_rules: dict[str, list[str]] = {}
+    if use_robots:
+        from web_scraper_spark.sources.robots import parse_robots_body
+
+        for row in web:
+            if row.url.endswith("/robots.txt") and row.status == 200:
+                disallow, _delay = parse_robots_body(row.body.decode())
+                robots_rules[row.host] = disallow
+
+    def robots_allows(url: str) -> bool:
+        if not use_robots:
+            return True
+        from urllib.parse import urlparse
+
+        p = urlparse(url)
+        path = p.path or "/"
+        return not any(
+            path.startswith(prefix) for prefix in robots_rules.get(p.netloc.lower(), [])
+        )
 
     # --- seed stage (run_url_producer.py:24-54): prepare, global dedup ---
     seen_prepared: set[str] = set()
@@ -219,6 +242,12 @@ def simulate(
     next_round = 0
     batch = frontier
     while batch:
+        # robots filtering happens before scheduling: blocked URLs never
+        # consume politeness slots nor appear in the crawl order (they do
+        # stay in url_seen — they were discovered)
+        batch = [e for e in batch if robots_allows(canonicalize(e[1]))]
+        if not batch:
+            break
         next_frontier: list[tuple[int, str, str]] = []
         for rnd, sub in rounds_for(batch, next_round):
             next_round = rnd + 1

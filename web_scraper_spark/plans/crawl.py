@@ -158,6 +158,7 @@ def run_crawl(
     dedup_contacts: bool = False,
     resume: bool = False,
     max_depth: int = 1,
+    use_robots: bool = False,
 ) -> CrawlResult:
     """Run (or resume) the full crawl. ``dedup_contacts=False`` mirrors
     the reference's duplicate-fetch behavior (SURVEY.md F5); True enables
@@ -170,6 +171,27 @@ def run_crawl(
     seen = URLSeenSet(spark, os.path.join(workdir, "url_seen"))
 
     web = web.cache()
+
+    # robots rule table (graft; SURVEY.md §4 custom #5). Hermetic mode
+    # reads the /robots.txt rows straight off the synthetic web; a live
+    # crawl would fetch them in a pre-pass per newly-seen host and append
+    # to the same cached rules table. Rules are #hosts rows -> broadcast.
+    robots_rules = None
+    if use_robots:
+        from web_scraper_spark.sources.robots import build_rules_table, filter_allowed
+
+        robots_pages = web.where(
+            F.col("url").endswith("/robots.txt") & (F.col("status") == 200)
+        ).select("host", "body")
+        robots_rules = build_rules_table(robots_pages).cache()
+        robots_rules.count()
+
+    def _robots_filter(df: DataFrame) -> DataFrame:
+        if robots_rules is None:
+            return df
+        from web_scraper_spark.sources.robots import filter_allowed
+
+        return filter_allowed(df, robots_rules)
 
     # state = active (current-depth rows with round_offset >= 0) ∪ staged
     # (next-depth rows, sentinel round_offset == -1, politeness-assigned
@@ -187,7 +209,12 @@ def run_crawl(
             t.reset()
         seeds_df = _seed_frontier(spark, seeds).cache()
         seen.add(seeds_df.select("url"))
-        active = assign_rounds(seeds_df, politeness_budget, politeness_method)
+        # robots filtering precedes scheduling: blocked URLs consume no
+        # politeness slots and never reach the crawl log (url_seen keeps
+        # them — they were discovered)
+        active = assign_rounds(
+            _robots_filter(seeds_df), politeness_budget, politeness_method
+        )
         staged = spark.createDataFrame([], FRONTIER_SCHEMA).drop("round_offset")
         round_no = 0
 
@@ -195,7 +222,9 @@ def run_crawl(
         if active.isEmpty():
             if staged.isEmpty():
                 break
-            active = assign_rounds(staged, politeness_budget, politeness_method)
+            active = assign_rounds(
+                _robots_filter(staged), politeness_budget, politeness_method
+            )
             staged = spark.createDataFrame([], FRONTIER_SCHEMA).drop("round_offset")
         active = active.cache()
         current = active.where(F.col("round_offset") == 0)

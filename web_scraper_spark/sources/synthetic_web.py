@@ -155,6 +155,26 @@ def build_web(n_domains: int = 40, seed: int = SEED):
             # the reference fetches the same page twice (F5 semantics)
             seeds.append(host + "/")
 
+        # ~1/4 of hosts publish robots.txt: every 4th disallows /contact
+        # (blocking its contact-page fan-out) and sets a crawl delay
+        if i % 4 == 3:
+            robots_body = (
+                "# synthetic robots\n"
+                "User-agent: *\n"
+                "Disallow: /contact\n"
+                "Crawl-delay: 0.5\n"
+            )
+            web.append(
+                WebRow(
+                    url=f"http://{host}/robots.txt",
+                    host=host,
+                    depth=0,
+                    status=200,
+                    content_type="text/plain",
+                    body=robots_body.encode(),
+                )
+            )
+
         # hot host: domain 0 gets a large contact fan-out (skew fixture)
         n_contacts = HOT_HOST_CONTACTS if i == 0 else rng.randint(0, 3)
         contact_paths = [f"/contact-{c}" if c else "/contact" for c in range(n_contacts)]
