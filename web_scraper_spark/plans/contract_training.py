@@ -67,40 +67,60 @@ def dedup_exact(spark, sf_dir):
 
 
 # Dedup 2 — MinHash + LSH candidate pairs (shingle -> 8 minhashes ->
-# band buckets -> within-bucket pair join; never all-pairs)
+# band buckets -> within-bucket pair join; never all-pairs).
+#
+# One md5 per shingle; the 8 band hashes are affine permutations
+# h -> (a*h + b) mod M over the prime field M = 2^31 - 1 — products stay
+# < 2^36 so neither engine overflows, and the constants below are shared
+# literals in the Spark expression and the oracle SQL.
+_MERSENNE = 2147483647
+_BAND_COEF = [
+    (1103515245, 12345), (1103541119, 2531011), (214013, 2531012),
+    (69069, 1234567), (1664525, 1013904223), (22695477, 1),
+    (134775813, 1), (1103515245 * 2 % _MERSENNE, 777),
+]
+_SQL_MINHASHES = ", ".join(
+    f"list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {_MERSENNE})) AS m{i}"
+    for i, (a, b) in enumerate(_BAND_COEF)
+)
+_SQL_MH_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band, m{i} AS minhash FROM mh" for i in range(N_MINHASH)
+)
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
     WITH sh AS (
-      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      SELECT doc_id,
+             list_transform({_SQL_SHINGLES},
+                            s -> {_SQL_H60.format("s")} % {_MERSENNE}) AS hs
       FROM (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
     ),
-    mh AS (
-      SELECT doc_id, band,
-             list_min(list_transform(shingles,
-                      s -> {_SQL_H60.format("band || ':' || s")})) AS minhash
-      FROM sh, (SELECT unnest(range({N_MINHASH})) AS band)
-    )
+    mh AS (SELECT doc_id, {_SQL_MINHASHES} FROM sh),
+    bands AS ({_SQL_MH_UNION})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
-    FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash
-                        AND a.doc_id < b.doc_id
+    FROM bands a JOIN bands b ON a.band = b.band AND a.minhash = b.minhash
+                              AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     words = _words(F.col("text"))
-    sh = d.select("doc_id", _shingles(words).alias("shingles"))
-    bands = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("band"))
-    mh = sh.crossJoin(F.broadcast(bands)).select(
-        "doc_id",
-        "band",
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: hash60(F.concat(F.col("band").cast("string"), F.lit(":"), s)),
-            )
-        ).alias("minhash"),
+    hs = F.transform(_shingles(words), lambda s: hash60(s) % _MERSENNE)
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE
+
+    minhashes = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), _perm(a, b)))
+            for a, b in _BAND_COEF
+        ]
+    )
+    mh = (
+        d.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.posexplode(minhashes).alias("band", "minhash"))
     )
     a = mh.alias("a")
     b = mh.alias("b")

@@ -92,14 +92,17 @@ def _seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
 
 
 def _prepare_record_batch(extracted: DataFrame) -> DataFrame:
-    """Per-round extracted rows -> one merge row per domain
-    (storage_service.py:86-94 projections + within-batch combine in
-    canonical (seed_idx, url) order)."""
+    """Extracted rows (any number of rounds) -> one merge row per domain
+    (storage_service.py:86-94 projections). The combine follows the
+    oracle's message-processing order — (depth, seed_idx, url) — which is
+    exactly per-domain first-occurrence order because politeness rounds
+    split *within* a host by that same (seed_idx, url) rank."""
     rec = (
         extracted.withColumn("domain", domain_from_url(F.col("seed_url")))
         .where(F.col("domain").isNotNull())
         .select(
             "domain",
+            "depth",
             "seed_idx",
             F.col("seed_url").alias("url"),
             "phone_numbers",
@@ -121,8 +124,9 @@ def _prepare_record_batch(extracted: DataFrame) -> DataFrame:
         F.sort_array(
             F.collect_list(
                 F.struct(
-                    "seed_idx", "url", "phone_numbers", "social_media_links",
-                    "addresses", "social_media_profiles", "normalized_phone_numbers",
+                    "depth", "seed_idx", "url", "phone_numbers",
+                    "social_media_links", "addresses",
+                    "social_media_profiles", "normalized_phone_numbers",
                 )
             )
         ).alias("rs")
@@ -165,6 +169,7 @@ def run_crawl(
     the graft's full URL-seen dedup at every depth."""
     frontier_t = SnapshotTable(spark, os.path.join(workdir, "frontier"))
     log_t = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
+    extracted_t = SnapshotTable(spark, os.path.join(workdir, "extracted_log"))
     records_t = SnapshotTable(spark, os.path.join(workdir, "company_records"))
     images_t = SnapshotTable(spark, os.path.join(workdir, "images"))
     metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"))
@@ -205,7 +210,8 @@ def run_crawl(
         staged = state.where(F.col("round_offset") == -1).drop("round_offset")
     else:
         # fresh run: clear any stale state from a previous run in this dir
-        for t in (frontier_t, log_t, records_t, images_t, metrics_t, seen.table):
+        for t in (frontier_t, log_t, extracted_t, records_t, images_t,
+                  metrics_t, seen.table):
             t.reset()
         seeds_df = _seed_frontier(spark, seeds).cache()
         seen.add(seeds_df.select("url"))
@@ -267,10 +273,15 @@ def run_crawl(
             ).alias("ex"),
         ).select("seed_idx", "seed_url", "depth", "url", "ex.*").cache()
 
-        # ---- merge extracted records ----------------------------------
-        batch = _prepare_record_batch(extracted)
-        if not batch.isEmpty():
-            merge_company_records(records_t, batch)
+        # ---- log extracted records (merged once after the loop: the
+        # per-round log is what checkpoints; the final MERGE is a single
+        # keyed aggregation instead of rounds x full-table rewrites) ----
+        extracted_t.append(
+            extracted.select(
+                "depth", "seed_idx", "seed_url",
+                "phone_numbers", "social_media_links", "addresses",
+            )
+        )
 
         # ---- land images (graft route; reference drops these) ---------
         if not image_ok.isEmpty():
@@ -356,6 +367,11 @@ def run_crawl(
         fetched.unpersist()
         extracted.unpersist()
 
+    # ---- one-shot records MERGE over the full extracted log ------------
+    all_extracted = extracted_t.read()
+    if all_extracted is not None and not all_extracted.isEmpty():
+        merge_company_records(records_t, _prepare_record_batch(all_extracted))
+
     # ---- names side-input MERGE (SURVEY.md §3.2, scalars last) --------
     if names_rows:
         names_df = spark.createDataFrame(
@@ -389,8 +405,12 @@ def run_crawl(
         "normalized_phone_numbers array<string>, url string, company_name string, "
         "searchable_name string",
     )
+    # exact-row dedup makes the log safe under at-least-once replay (a
+    # crash between the log append and the frontier commit re-runs the
+    # round); legitimate duplicate fetches (F5) differ in seed_idx so
+    # they survive this
     return CrawlResult(
-        crawl_log=log_t.read(),
+        crawl_log=log_t.read().dropDuplicates(),
         url_seen=seen.snapshot_urls(),
         company_records=records_t.read() if records_t.exists() else empty_records,
         images=images_t.read() if images_t.exists() else None,
