@@ -1,0 +1,94 @@
+"""spark-submit entry point for the crawl pipeline.
+
+Cluster usage (the north-rule deployment shape):
+
+    python scripts/make_pyfiles.py   # -> dist/web_scraper_spark.zip
+    spark-submit --master yarn --deploy-mode cluster \\
+        --py-files dist/web_scraper_spark.zip \\
+        jobs/crawl_job.py \\
+        --seeds-csv s3://bucket/seeds.csv --workdir s3://bucket/crawl1 \\
+        --politeness-budget 64 --use-robots --dedup --live
+
+Hermetic usage (this sandbox, synthetic web):
+
+    spark-submit --master 'local[32]' jobs/crawl_job.py \\
+        --synthetic-domains 300 --workdir /tmp/crawl1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# repo-local runs put jobs/ on sys.path; --py-files deployments ship the
+# package zip instead — support both
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="web_scraper_spark crawl")
+    p.add_argument("--seeds-csv", help="CSV with a 'domain' header (reference A1 shape)")
+    p.add_argument("--synthetic-domains", type=int, default=0,
+                   help="use the hermetic synthetic web with N domains instead of --seeds-csv")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--politeness-budget", type=int, default=None)
+    p.add_argument("--politeness-method", choices=["window", "range"], default="window")
+    p.add_argument("--use-robots", action="store_true")
+    p.add_argument("--dedup", action="store_true",
+                   help="graft mode: URL-seen dedup at every depth (default mirrors the reference's duplicate-fetch semantics)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-depth", type=int, default=1)
+    p.add_argument("--live", action="store_true",
+                   help="real HTTP fetching (sources/fetch.fetch_live); default is the hermetic fetch-join")
+    args = p.parse_args(argv)
+
+    from web_scraper_spark.session import get_spark
+
+    spark = get_spark("crawl_job")
+
+    if args.synthetic_domains:
+        from web_scraper_spark.sources.synthetic_web import build_web, web_host_df
+
+        seeds, _ = build_web(args.synthetic_domains)
+        web = web_host_df(spark, args.synthetic_domains)
+    else:
+        if not args.seeds_csv:
+            p.error("--seeds-csv or --synthetic-domains required")
+        if args.live:
+            raise NotImplementedError(
+                "live crawling wiring: swap fetch_join for fetch_live in "
+                "plans/crawl (sandbox has no network; see SURVEY.md Phase 4)"
+            )
+        p.error("--seeds-csv without --live needs a web fixture")
+
+    from web_scraper_spark.plans.crawl import run_crawl
+
+    result = run_crawl(
+        spark,
+        seeds,
+        web,
+        None,
+        workdir=args.workdir,
+        politeness_budget=args.politeness_budget,
+        politeness_method=args.politeness_method,
+        dedup_contacts=args.dedup,
+        resume=args.resume,
+        max_depth=args.max_depth,
+        use_robots=args.use_robots,
+    )
+    summary = {
+        "rounds": result.rounds,
+        "fetch_attempts": result.crawl_log.count(),
+        "urls_seen": result.url_seen.count(),
+        "company_records": result.company_records.count(),
+        "images": result.images.count() if result.images is not None else 0,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
