@@ -27,9 +27,12 @@ def normalize_company_name(name: Column) -> Column:
         out = F.regexp_replace(out, rf"\b{escaped}\b\.?", "")
     # Python's \w is Unicode-aware; Java's is ASCII-only — spell out the
     # Unicode classes so accented letters survive like in the reference
-    out = F.regexp_replace(out, r"[^\p{L}\p{N}_\s]", "")
-    out = F.trim(F.regexp_replace(out, r"\s+", " "))
-    return out
+    out = F.regexp_replace(out, r"(?U)[^\p{L}\p{N}_\s]", "")
+    # Python's ' '.join(s.split()) collapses *Unicode* whitespace
+    out = F.regexp_replace(out, r"(?U)\s+", " ")
+    from web_scraper_spark.functions.urls import strip_ws
+
+    return strip_ws(out)
 
 
 def best_name(
@@ -42,7 +45,9 @@ def best_name(
     at all are skipped there — filter on isNotNull afterwards).
     """
     def _nonblank(c: Column) -> Column:
-        return F.nullif(F.trim(F.coalesce(c, F.lit(""))), F.lit(""))
+        from web_scraper_spark.functions.urls import strip_ws
+
+        return F.nullif(strip_ws(F.coalesce(c, F.lit(""))), F.lit(""))
 
     first_of_all = F.split(F.coalesce(all_available, F.lit("")), r"\|")[0]
     return F.coalesce(_nonblank(legal), _nonblank(commercial), _nonblank(first_of_all))

@@ -26,13 +26,20 @@ _NETLOC_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
 
 
+def strip_ws(col: Column) -> Column:
+    """Python ``str.strip()`` equivalent. Spark's ``trim`` strips ONLY
+    ASCII spaces; the reference strips all (Unicode) whitespace — ``(?U)``
+    makes Java's ``\\s`` Unicode-aware to match."""
+    return F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
+
+
 def prepare_url(url: Column) -> Column:
     """Trim; prepend ``http://`` unless a ``scheme://`` prefix exists.
 
     Mirrors ``prepare_url`` (reference src/utils/normalization_utils.py:103-110):
     empty input stays empty, existing scheme is preserved verbatim.
     """
-    trimmed = F.trim(url)
+    trimmed = strip_ws(url)
     return (
         F.when(trimmed == "", F.lit(""))
         .when(trimmed.rlike(_SCHEME_RE), trimmed)

@@ -68,8 +68,10 @@ def _seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
     occurrence dedup, seed_idx = acceptance order."""
     rows = [(i, s) for i, s in enumerate(seeds)]
     raw = spark.createDataFrame(rows, "row_idx long, raw string")
+    from web_scraper_spark.functions.urls import strip_ws
+
     prepared = (
-        raw.where(F.trim(F.coalesce(F.col("raw"), F.lit(""))) != "")
+        raw.where(strip_ws(F.coalesce(F.col("raw"), F.lit(""))) != "")
         .withColumn("url", prepare_url(F.col("raw")))
     )
     first = prepared.groupBy("url").agg(F.min("row_idx").alias("first_row"))
@@ -163,10 +165,14 @@ def run_crawl(
     resume: bool = False,
     max_depth: int = 1,
     use_robots: bool = False,
+    live: bool = False,
 ) -> CrawlResult:
     """Run (or resume) the full crawl. ``dedup_contacts=False`` mirrors
     the reference's duplicate-fetch behavior (SURVEY.md F5); True enables
-    the graft's full URL-seen dedup at every depth."""
+    the graft's full URL-seen dedup at every depth. ``live=True`` swaps
+    the hermetic fetch-join for the real threaded fetcher (same
+    interface; per-host crawl delays come from the robots rules) — never
+    exercised in CI (no network in this sandbox)."""
     frontier_t = SnapshotTable(spark, os.path.join(workdir, "frontier"))
     log_t = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
     extracted_t = SnapshotTable(spark, os.path.join(workdir, "extracted_log"))
@@ -252,7 +258,23 @@ def run_crawl(
         )
 
         # ---- fetch + route --------------------------------------------
-        fetched = fetch_join(current, web).cache()
+        if live:
+            from web_scraper_spark.operators.politeness import salted_key
+            from web_scraper_spark.sources.fetch import fetch_live
+
+            delays = {}
+            if robots_rules is not None:
+                delays = {
+                    r["host"]: r["crawl_delay"]
+                    for r in robots_rules.collect()
+                    if r["crawl_delay"] is not None
+                }
+            # salted host partitioning: a hot host spreads across
+            # partitions while each partition paces its hosts locally
+            paced = current.repartition(salted_key(F.col("host"), F.col("url")))
+            fetched = fetch_live(paced, delays).cache()
+        else:
+            fetched = fetch_join(current, web).cache()
         html_ok = fetched.where(
             (F.col("status") == 200) & F.col("content_type").contains("text/html")
         )
