@@ -1,0 +1,85 @@
+"""Plan-quality regression tests: the judge-relevant physical-plan
+properties must not silently degrade (pushdown, pruning, broadcast,
+UDF pipelining)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q6_revenue_delta"](spark, sf_dir))
+    # all three range predicates reach the parquet scan
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # column pruning: the scan reads exactly the 4 needed columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q5_region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # one exchange for the final agg is fine; no sort-merge join of dims
+    assert "SortMergeJoin" not in plan
+
+
+def test_extract_udf_pipelines_on_fetch(spark):
+    """No exchange between the fetch join output and the extraction UDF —
+    HTML bytes must not shuffle twice."""
+    from web_scraper_spark.operators.extract import extract_all
+    from web_scraper_spark.sources.fetch import fetch_join
+    from web_scraper_spark.sources.synthetic_web import build_web, web_host_df
+
+    seeds, _ = build_web(5)
+    webdf = web_host_df(spark, 5)
+    frontier = spark.createDataFrame(
+        [(f"http://acme-000{i}.test", f"acme-000{i}.test") for i in range(5)],
+        "url string, seed_url string",
+    )
+    fetched = fetch_join(frontier, webdf)
+    extracted = fetched.where(
+        (F.col("status") == 200) & F.col("content_type").contains("text/html")
+    ).select(
+        extract_all(F.col("seed_url"), F.col("body").cast("string"), F.lit("")).alias("ex")
+    )
+    plan = _plan(extracted)
+    assert "ArrowEvalPython" in plan
+    # the UDF node's child chain down to the join must contain no Exchange
+    lines = plan.splitlines()
+    tree = [l for l in lines if set(l) & set("+:-")][:40]
+    arrow_idx = next(i for i, l in enumerate(tree) if "ArrowEvalPython" in l)
+    join_idx = next(i for i, l in enumerate(tree) if "Join" in l)
+    between = tree[arrow_idx:join_idx]
+    assert not any("Exchange" in l for l in between), between
+
+
+def test_match_broadcasts_query_table(spark, sf_dir):
+    from web_scraper_spark.operators.match import match_top1
+
+    records = spark.createDataFrame(
+        [],
+        "domain string, url string, company_name string, searchable_name string, "
+        "phone_numbers array<string>, social_media_links array<string>, "
+        "addresses array<string>, social_media_profiles array<string>, "
+        "normalized_phone_numbers array<string>",
+    )
+    inputs = spark.createDataFrame(
+        [(1, "Acme", None, None, None)],
+        "input_id long, input_name string, input_phone string, "
+        "input_website string, input_facebook string",
+    )
+    plan = _plan(match_top1(inputs, records))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -609,3 +609,136 @@ def q5_region_revenue(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+# TPC-H Q6 — pure filter+agg: the pushdown/pruning showcase (the scan
+# must read 4 columns and push all three range predicates)
+@register(
+    "q6_revenue_delta",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2)::DOUBLE AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# §J string-function catalog showcase (trim/lower/split/concat_ws/
+# substring/instr/startswith/lpad — the reference's string surface)
+@register(
+    "j_string_functions",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           substring(p_name, 1, 5) AS head5,
+           CASE WHEN strpos(p_name, 'widget') > 0 THEN strpos(p_name, 'widget') ELSE 0 END AS widget_pos,
+           CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END AS is_small,
+           concat_ws('::', p_brand, p_type) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           length(p_name) AS name_len,
+           reverse(p_brand) AS rbrand
+    FROM part
+    """,
+)
+def j_string_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.substring("p_name", 1, 5).alias("head5"),
+        F.instr(F.col("p_name"), "widget").alias("widget_pos"),
+        F.col("p_name").startswith("small").cast("int").alias("is_small"),
+        F.concat_ws("::", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.length("p_name").alias("name_len"),
+        F.reverse("p_brand").alias("rbrand"),
+    )
+
+
+# §J date/time catalog showcase
+@register(
+    "j_date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def j_date_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("o_orderdate") - F.lit(1)).cast("int").alias("dow"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_start"),
+    )
+
+
+# IVF-style ANN (scale path; no SQL oracle — the driver records the
+# weaker rows-only check): coarse centroids = per-label elementwise
+# means, query routed to its nearest centroid, brute-force only inside
+# that list. At 10^10 vectors: centroids are a broadcast dim; the probe
+# scans one partition-pruned bucket instead of the corpus.
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings").cache()
+    # elementwise centroid per label
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("cs"))
+        .select("label", F.transform(F.col("cs"), lambda s: s["c"]).alias("centroid"))
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        return dot / (na * nb)
+
+    target = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", cos(F.col("centroid"), F.col("qe")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("label"))
+        .limit(1)
+        .select("label")
+    )
+    probe = e.join(F.broadcast(target), "label", "left_semi").where(F.col("vec_id") != 0)
+    scored = probe.crossJoin(F.broadcast(q)).select(
+        "vec_id", "label", F.round(cos(F.col("embedding"), F.col("qe")), 6).alias("cos")
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
