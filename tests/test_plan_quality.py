@@ -57,11 +57,13 @@ def test_extract_udf_pipelines_on_fetch(spark):
     )
     plan = _plan(extracted)
     assert "ArrowEvalPython" in plan
-    # the UDF node's child chain down to the join must contain no Exchange
-    lines = plan.splitlines()
-    tree = [l for l in lines if set(l) & set("+:-")][:40]
-    arrow_idx = next(i for i, l in enumerate(tree) if "ArrowEvalPython" in l)
-    join_idx = next(i for i, l in enumerate(tree) if "Join" in l)
+    # the UDF node's child chain down to the join must contain no Exchange;
+    # read the tree section of the formatted plan (up to the first blank)
+    tree = plan.split("== Physical Plan ==", 1)[-1].split("\n\n", 1)[0].splitlines()
+    arrow_idx = next((i for i, l in enumerate(tree) if "ArrowEvalPython" in l), None)
+    join_idx = next((i for i, l in enumerate(tree) if "Join" in l), None)
+    assert arrow_idx is not None, tree
+    assert join_idx is not None and join_idx > arrow_idx, tree
     between = tree[arrow_idx:join_idx]
     assert not any("Exchange" in l for l in between), between
 

@@ -29,6 +29,23 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, accumulated in
+    doubles in element order (bit-identical to the oracles' list_sum)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
 def _words(col: Column) -> Column:
     return F.split(F.trim(col), " ")
 
@@ -248,27 +265,7 @@ def ann_cosine_topk(spark, sf_dir):
         F.col("embedding").alias("q_embedding")
     )
     j = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("q_embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm_a = F.sqrt(
-        F.aggregate(
-            F.col("embedding"), F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    norm_q = F.sqrt(
-        F.aggregate(
-            F.col("q_embedding"), F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    cos = F.round(dot / (norm_a * norm_q), 6)
+    cos = F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         j.select("vec_id", "label", cos.alias("cos"))
@@ -308,16 +305,7 @@ def neardup_embedding_cosine(spark, sf_dir):
         bucket = bit if bucket is None else bucket * 2 + bit
     g = e.select("vec_id", F.col("embedding"), bucket.alias("bucket"))
     a, b = g.alias("a"), g.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate(F.col("a.embedding"), F.lit(0.0),
-                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    nb = F.sqrt(F.aggregate(F.col("b.embedding"), F.lit(0.0),
-                            lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    cos = dot / (na * nb)
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .where(cos >= 0.5)
@@ -646,7 +634,7 @@ def q6_revenue_delta(spark, sf_dir):
            lower(p_name) AS lname,
            upper(p_brand) AS ubrand,
            substring(p_name, 1, 5) AS head5,
-           CASE WHEN strpos(p_name, 'widget') > 0 THEN strpos(p_name, 'widget') ELSE 0 END AS widget_pos,
+           strpos(p_name, 'widget') AS widget_pos,
            CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END AS is_small,
            concat_ws('::', p_brand, p_type) AS brand_type,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
@@ -706,9 +694,7 @@ def j_date_functions(spark, sf_dir):
 # scans one partition-pruned bucket instead of the corpus.
 @register("ann_ivf_topk")
 def ann_ivf_topk(spark, sf_dir):
-    from pyspark.sql import Window
-
-    e = _t(spark, sf_dir, "embeddings").cache()
+    e = _t(spark, sf_dir, "embeddings")
     # elementwise centroid per label
     cent = (
         e.select("label", F.posexplode("embedding").alias("i", "x"))
@@ -720,25 +706,21 @@ def ann_ivf_topk(spark, sf_dir):
     )
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
 
-    def cos(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-        return dot / (na * nb)
-
     target = (
         cent.crossJoin(F.broadcast(q))
-        .select("label", cos(F.col("centroid"), F.col("qe")).alias("sim"))
+        .select("label", cosine(F.col("centroid"), F.col("qe")).alias("sim"))
         .orderBy(F.desc("sim"), F.asc("label"))
         .limit(1)
         .select("label")
     )
     probe = e.join(F.broadcast(target), "label", "left_semi").where(F.col("vec_id") != 0)
     scored = probe.crossJoin(F.broadcast(q)).select(
-        "vec_id", "label", F.round(cos(F.col("embedding"), F.col("qe")), 6).alias("cos")
+        "vec_id", "label", F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos")
     )
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+    # orderBy+limit compiles to a distributed TakeOrderedAndProject —
+    # never a single-partition window over the probe bucket
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(5)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))  # over 5 rows only
+    return top.withColumn("rank", F.row_number().over(w))
