@@ -389,6 +389,11 @@ def run_crawl(
         fetched.unpersist()
         extracted.unpersist()
 
+    # ---- post-loop housekeeping: compact the append-heavy tables so the
+    # next epoch (or resume) reads one file set per table ----------------
+    for t in (log_t, extracted_t, seen.table):
+        t.compact()
+
     # ---- one-shot records MERGE over the full extracted log ------------
     all_extracted = extracted_t.read()
     if all_extracted is not None and not all_extracted.isEmpty():
