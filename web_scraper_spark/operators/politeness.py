@@ -30,7 +30,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-ORDER_COLS = ["seed_idx", "url"]
+# priority first (the distributed priority-queue dimension: lower value
+# drains earlier), then the deterministic tiebreak
+ORDER_COLS = ["priority", "seed_idx", "url"]
 
 
 def assign_rounds_window(frontier: DataFrame, budget: int) -> DataFrame:

@@ -155,6 +155,7 @@ def simulate(
     politeness_budget: int | None = None,
     route_images: bool = True,
     use_robots: bool = False,
+    priority_fn=None,
 ) -> OracleResult:
     web_by_canon = {canonicalize(r.url): r for r in web}
 
@@ -221,15 +222,29 @@ def simulate(
         if rec.get("url") is not None:
             doc["url"] = rec["url"]
 
-    def rounds_for(batch: list[tuple[int, str, str]], base_round: int):
-        """Politeness scheduling: per-host budget, (seed_idx, url) order."""
+    def entry_priority(entry: tuple[int, str, str], depth: int) -> float:
+        """Priority-queue dimension; default FIFO-by-seed (== engine's
+        _with_priority default)."""
+        if priority_fn is None:
+            return float(entry[0])
+        from urllib.parse import urlparse
+
+        host = urlparse(canonicalize(entry[1])).netloc.lower()
+        return float(priority_fn(entry[1], host, depth, entry[0]))
+
+    def rounds_for(batch: list[tuple[int, str, str]], base_round: int, depth: int):
+        """Politeness scheduling: per-host budget, (priority, seed_idx,
+        url) order."""
         if politeness_budget is None:
             return [(base_round, batch)]
         from urllib.parse import urlparse
 
         per_host_rank: dict[str, int] = {}
         out: dict[int, list] = {}
-        for entry in sorted(batch, key=lambda e: (e[0], canonicalize(e[1]))):
+        for entry in sorted(
+            batch,
+            key=lambda e: (entry_priority(e, depth), e[0], canonicalize(e[1])),
+        ):
             host = urlparse(entry[1]).netloc.lower()
             rank = per_host_rank.get(host, 0)
             per_host_rank[host] = rank + 1
@@ -249,7 +264,7 @@ def simulate(
         if not batch:
             break
         next_frontier: list[tuple[int, str, str]] = []
-        for rnd, sub in rounds_for(batch, next_round):
+        for rnd, sub in rounds_for(batch, next_round, depth):
             next_round = rnd + 1
             for seed_idx, fetch_url, seed_url in sorted(sub, key=lambda e: (e[0], canonicalize(e[1]))):
                 crawl_order.append((rnd, depth, seed_idx, canonicalize(fetch_url)))

@@ -49,7 +49,7 @@ from web_scraper_spark.sources.tables import SnapshotTable, merge_company_record
 
 FRONTIER_SCHEMA = (
     "url string, host string, depth int, seed_idx long, seed_url string, "
-    "caption string, round_offset long"
+    "caption string, priority double, round_offset long"
 )
 
 
@@ -91,6 +91,15 @@ def _seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
             F.lit(None).cast("string").alias("caption"),
         )
     )
+
+
+def _with_priority(df: DataFrame, priority_expr) -> DataFrame:
+    """Attach the frontier's priority column (the priority-queue
+    dimension; lower drains first). Default = seed_idx, i.e. the
+    reference's FIFO-by-seed-order behavior."""
+    if priority_expr is None:
+        return df.withColumn("priority", F.col("seed_idx").cast("double"))
+    return df.withColumn("priority", priority_expr(df).cast("double"))
 
 
 def _prepare_record_batch(extracted: DataFrame) -> DataFrame:
@@ -166,6 +175,7 @@ def run_crawl(
     max_depth: int = 1,
     use_robots: bool = False,
     live: bool = False,
+    priority_expr=None,
 ) -> CrawlResult:
     """Run (or resume) the full crawl. ``dedup_contacts=False`` mirrors
     the reference's duplicate-fetch behavior (SURVEY.md F5); True enables
@@ -219,7 +229,7 @@ def run_crawl(
         for t in (frontier_t, log_t, extracted_t, records_t, images_t,
                   metrics_t, seen.table):
             t.reset()
-        seeds_df = _seed_frontier(spark, seeds).cache()
+        seeds_df = _with_priority(_seed_frontier(spark, seeds), priority_expr).cache()
         seen.add(seeds_df.select("url"))
         # robots filtering precedes scheduling: blocked URLs consume no
         # politeness slots and never reach the crawl log (url_seen keeps
@@ -367,10 +377,13 @@ def run_crawl(
             discovered = seen.filter_new(discovered)
         if not discovered.isEmpty():
             seen.add(discovered.select("url"))
-        next_depth = discovered.select(
-            "url", "host",
-            (F.lit(depth_now) + 1).cast("int").alias("depth"),
-            "seed_idx", "seed_url", "caption",
+        next_depth = _with_priority(
+            discovered.select(
+                "url", "host",
+                (F.lit(depth_now) + 1).cast("int").alias("depth"),
+                "seed_idx", "seed_url", "caption",
+            ),
+            priority_expr,
         )
         staged = staged.unionByName(next_depth)
 
