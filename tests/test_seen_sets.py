@@ -1,0 +1,51 @@
+"""URL-seen set variants: exact vs Bloom vs Cuckoo agree at fixture
+scale; Cuckoo supports deletion (re-crawl)."""
+
+from pyspark.sql import functions as F
+
+
+def _urls(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".test/p/"), F.col("id").cast("string")).alias("url")
+    )
+
+
+def test_exact_bloom_cuckoo_agree(spark, tmp_path):
+    from web_scraper_spark.operators.seen import (
+        BloomURLSeenSet, CuckooURLSeenSet, URLSeenSet,
+    )
+
+    batch1 = _urls(spark, 0, 3000)
+    batch2 = _urls(spark, 1500, 4500)  # half dupes
+
+    exact = URLSeenSet(spark, str(tmp_path / "exact"))
+    exact.add(batch1)
+    exact_novel2 = {r.url for r in exact.filter_new(batch2).collect()}
+    exact.add(batch2)
+
+    bloom = BloomURLSeenSet(spark, str(tmp_path / "bloom"), num_partitions=8)
+    b1 = {r.url for r in bloom.filter_and_add(batch1).collect()}
+    b2 = {r.url for r in bloom.filter_and_add(batch2).collect()}
+
+    cuckoo = CuckooURLSeenSet(spark, str(tmp_path / "cuckoo"), num_partitions=8)
+    c1 = {r.url for r in cuckoo.filter_and_add(batch1).collect()}
+    c2 = {r.url for r in cuckoo.filter_and_add(batch2).collect()}
+
+    all1 = {r.url for r in batch1.distinct().collect()}
+    assert b1 == all1 and c1 == all1  # sized for zero FP at this scale
+    assert b2 == exact_novel2 and c2 == exact_novel2
+
+
+def test_cuckoo_deletion_allows_refetch(spark, tmp_path):
+    from web_scraper_spark.operators.seen import CuckooURLSeenSet
+
+    cuckoo = CuckooURLSeenSet(spark, str(tmp_path / "ck"), num_partitions=4)
+    batch = _urls(spark, 0, 500)
+    assert cuckoo.filter_and_add(batch).count() == 500
+    assert cuckoo.filter_and_add(batch).count() == 0  # all seen
+    # forget half -> they become fetchable again
+    forget = _urls(spark, 0, 250)
+    cuckoo.delete(forget)
+    again = {r.url for r in cuckoo.filter_and_add(batch).collect()}
+    assert again == {r.url for r in forget.collect()}

@@ -225,3 +225,154 @@ class BloomURLSeenSet:
         untouched = state.join(new_bits.select("partition_id"), "partition_id", "left_anti")
         self.table.overwrite(new_bits.unionByName(untouched))
         return back.where(F.col("kind") == "url").select("url")
+
+
+def _cuckoo_fp(h: np.ndarray) -> np.ndarray:
+    fp = (_mix64(h) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1  # 0 means empty slot
+    return fp
+
+
+def _cuckoo_indices(h: np.ndarray, fp: np.ndarray, m: int):
+    mu = np.uint64(m)
+    i1 = (_mix64(h ^ np.uint64(0x1234567887654321)) % mu).astype(np.int64)
+    alt = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) % mu
+    i2 = ((i1.astype(np.uint64) ^ alt) % mu).astype(np.int64)
+    return i1, i2
+
+
+class CuckooURLSeenSet:
+    """Cuckoo-filter mode: per-partition partial-key cuckoo tables
+    (buckets x 4 slots of 16-bit fingerprints) behind the same
+    ``filter_and_add`` interface as Bloom. Trade-offs vs Bloom:
+    supports DELETION (re-crawl scheduling can forget URLs) and ~same
+    space at <3% load penalty; inserts can fail at very high load
+    (items then pass through as novel — fail-open, never drops novel
+    URLs silently beyond the standard FP rate).
+
+    Lookups are fully vectorized; inserts walk an eviction loop per
+    *novel* item inside the Arrow batch (bounded 500 kicks).
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_partitions: int = 32,
+        buckets_per_partition: int = 1 << 18,  # x4 slots x 2B = 2 MiB
+    ):
+        self.spark = spark
+        self.table = SnapshotTable(spark, root)
+        self.P = num_partitions
+        self.m = buckets_per_partition
+
+    def _state(self) -> DataFrame:
+        df = self.table.read()
+        if df is None:
+            return self.spark.createDataFrame([], _BLOOM_STATE_SCHEMA)
+        return df
+
+    def filter_and_add(self, candidates: DataFrame, delete: bool = False) -> DataFrame:
+        """delete=False: returns novel urls + inserts them.
+        delete=True: removes the given urls from the filter instead."""
+        m, P, max_kicks = self.m, self.P, self.MAX_KICKS
+        # plain module functions only — a bound method would drag `self`
+        # (and its SparkSession) into the executor closure
+        fingerprint = _cuckoo_fp
+        indices = _cuckoo_indices
+
+        cand = candidates.withColumn("hash", F.xxhash64(F.col("url"))).withColumn(
+            "partition_id", F.pmod(F.col("hash"), F.lit(P)).cast("int")
+        )
+        state = self._state()
+
+        def merge(key, cand_iter: pd.DataFrame, state_df: pd.DataFrame) -> pd.DataFrame:
+            pid = int(key[0])
+            if len(state_df) and state_df["bits"].iloc[0] is not None:
+                slots = np.frombuffer(state_df["bits"].iloc[0], dtype=np.uint16).reshape(m, 4).copy()
+            else:
+                slots = np.zeros((m, 4), dtype=np.uint16)
+            frames = []
+            if len(cand_iter):
+                cand_iter = cand_iter.drop_duplicates("url")
+                h = cand_iter["hash"].to_numpy().astype(np.int64).view(np.uint64)
+                fp = fingerprint(h)
+                i1, i2 = indices(h, fp, m)
+                # vectorized membership: fp present in bucket i1 or i2
+                present = (
+                    (slots[i1] == fp[:, None]).any(axis=1)
+                    | (slots[i2] == fp[:, None]).any(axis=1)
+                )
+                if delete:
+                    for row in np.nonzero(present)[0]:
+                        for b in (i1[row], i2[row]):
+                            hit = np.nonzero(slots[b] == fp[row])[0]
+                            if len(hit):
+                                slots[b, hit[0]] = 0
+                                break
+                    novel_urls = np.array([], dtype=object)
+                else:
+                    fresh = np.nonzero(~present)[0]
+                    inserted = []
+                    import random as _random
+
+                    rng = _random.Random(pid)
+                    for row in fresh:
+                        f = fp[row]
+                        placed = False
+                        for b in (i1[row], i2[row]):
+                            empty = np.nonzero(slots[b] == 0)[0]
+                            if len(empty):
+                                slots[b, empty[0]] = f
+                                placed = True
+                                break
+                        if not placed:
+                            b = i1[row]
+                            for _ in range(max_kicks):
+                                s = rng.randrange(4)
+                                f, slots[b, s] = slots[b, s], f
+                                b = int((np.uint64(b) ^ ((np.uint64(f) * np.uint64(0x5BD1E995)) % np.uint64(m))) % np.uint64(m))
+                                empty = np.nonzero(slots[b] == 0)[0]
+                                if len(empty):
+                                    slots[b, empty[0]] = f
+                                    placed = True
+                                    break
+                            # on kick exhaustion the item is reported novel
+                            # but not stored (fail-open)
+                        inserted.append(row)
+                    novel_urls = cand_iter["url"].to_numpy()[fresh]
+                if len(novel_urls):
+                    frames.append(
+                        pd.DataFrame(
+                            {"kind": "url", "url": novel_urls,
+                             "partition_id": pid, "bits": None}
+                        )
+                    )
+            frames.append(
+                pd.DataFrame(
+                    {"kind": ["bits"], "url": [None], "partition_id": [pid],
+                     "bits": [slots.tobytes()]}
+                )
+            )
+            return pd.concat(frames, ignore_index=True)
+
+        result = (
+            cand.groupBy("partition_id")
+            .cogroup(state.groupBy("partition_id"))
+            .applyInPandas(merge, _BLOOM_OUT_SCHEMA)
+        )
+        import os
+        import uuid
+
+        scratch = os.path.join(self.table.root, "scratch", uuid.uuid4().hex)
+        result.write.mode("overwrite").parquet(scratch)
+        back = self.spark.read.parquet(scratch)
+        new_bits = back.where(F.col("kind") == "bits").select("partition_id", "bits")
+        untouched = state.join(new_bits.select("partition_id"), "partition_id", "left_anti")
+        self.table.overwrite(new_bits.unionByName(untouched))
+        return back.where(F.col("kind") == "url").select("url")
+
+    def delete(self, urls: DataFrame) -> None:
+        self.filter_and_add(urls, delete=True)
