@@ -205,19 +205,30 @@ ORACLES["dedup_simhash"] = f"""
 """
 
 
-# Dedup 4 — n-gram Jaccard within length buckets
+# Dedup 4 — n-gram Jaccard with LSH blocking. Candidate pairs must share
+# (length bucket, min gram-hash): the min-hash block is the standard
+# scalable blocker — P(min equal) == the pair's Jaccard, so high-overlap
+# pairs are very likely blocked together while the quadratic all-pairs
+# blow-up disappears (block sizes stay tiny). Both engines compute the
+# identical blocking, so the oracle checks the same definition.
 @register(
     "dedup_ngram_jaccard",
-    """
+    f"""
     WITH g AS (
       SELECT doc_id, n_chars // 50 AS bucket,
              list_distinct([substr(head, i, 4) for i in range(1, len(head) - 2)]) AS grams
       FROM (SELECT doc_id, n_chars, substr(text, 1, 64) AS head FROM documents)
+    ),
+    gb AS (
+      SELECT doc_id, bucket, grams,
+             list_min(list_transform(grams, s -> {_SQL_H60.format("s")} % {_MERSENNE})) AS block
+      FROM g
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)::DOUBLE AS jaccard
-    FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    FROM gb a JOIN gb b ON a.bucket = b.bucket AND a.block = b.block
+                        AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
           (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.35
     """,
@@ -235,12 +246,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
             )
         ).alias("grams"),
     )
+    g = g.withColumn(
+        "block",
+        F.array_min(F.transform(F.col("grams"), lambda s: hash60(s) % _MERSENNE)),
+    )
     a, b = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
     jac = inter.cast("double") / union
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .where(jac >= 0.35)
         .select(
             F.col("a.doc_id").alias("doc_a"),
