@@ -1,0 +1,91 @@
+"""Full LIVE crawl parity: the real fetcher (mapInPandas + thread pool +
+urllib) crawls the synthetic web served by a loopback HTTP forward proxy
+— absolute-URI proxying means the fixture's ``.test`` hostnames need no
+DNS — and the result must match the oracle exactly, like the hermetic
+path does. This is the north-rule live pipeline end to end."""
+
+import http.server
+import threading
+
+import pytest
+
+from web_scraper_spark.oracle.simulator import canonicalize, simulate
+from web_scraper_spark.sources.synthetic_web import build_web, web_host_df
+
+N = 12
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    seeds, web = build_web(N)
+    return seeds, web, {canonicalize(r.url): r for r in web}
+
+
+@pytest.fixture(scope="module")
+def proxy(fixture):
+    _seeds, _web, by_canon = fixture
+
+    class ProxyHandler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            # a forward proxy receives the absolute URI in the request line
+            row = by_canon.get(canonicalize(self.path))
+            if row is None or row.status == 404:
+                self.send_error(404)
+                return
+            if row.status == 0:
+                # timeout sentinel: drop the connection without replying
+                self.close_connection = True
+                self.connection.close()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", row.content_type)
+            self.send_header("Content-Length", str(len(row.body)))
+            self.end_headers()
+            self.wfile.write(row.body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), ProxyHandler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_live_crawl_matches_oracle(spark, fixture, proxy, tmp_path):
+    from web_scraper_spark.plans.crawl import run_crawl
+
+    seeds, web, _ = fixture
+    oracle = simulate(seeds, web, None)
+
+    result = run_crawl(
+        spark, seeds, None, None,
+        workdir=str(tmp_path),
+        live=True, live_proxy=proxy, live_timeout_s=5.0,
+    )
+    got = sorted(
+        (r["round"], r.depth, r.seed_idx, r.url) for r in result.crawl_log.collect()
+    )
+    assert got == oracle.crawl_order
+    assert {r.url for r in result.url_seen.collect()} == oracle.url_seen
+    got_imgs = sorted(
+        (r.image_id, r.w, r.h, r.fmt, r.caption, r.phash)
+        for r in result.images.collect()
+    )
+    exp_imgs = sorted(
+        (i["image_id"], i["w"], i["h"], i["fmt"], i["caption"], i["phash"])
+        for i in oracle.images
+    )
+    assert got_imgs == exp_imgs
+    # merged documents too — the full pipeline over real HTTP
+    got_docs = {
+        r.domain: (list(r.phone_numbers), list(r.social_media_links))
+        for r in result.company_records.collect()
+    }
+    for domain, doc in oracle.documents.items():
+        if doc["url"] is None:
+            continue
+        assert got_docs[domain] == (doc["phone_numbers"], doc["social_media_links"]), domain

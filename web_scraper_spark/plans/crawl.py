@@ -175,6 +175,8 @@ def run_crawl(
     max_depth: int = 1,
     use_robots: bool = False,
     live: bool = False,
+    live_proxy: str | None = None,
+    live_timeout_s: float = 15.0,
     priority_expr=None,
 ) -> CrawlResult:
     """Run (or resume) the full crawl. ``dedup_contacts=False`` mirrors
@@ -191,7 +193,8 @@ def run_crawl(
     metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"))
     seen = URLSeenSet(spark, os.path.join(workdir, "url_seen"))
 
-    web = web.cache()
+    if web is not None:
+        web = web.cache()
 
     # robots rule table (graft; SURVEY.md §4 custom #5). Hermetic mode
     # reads the /robots.txt rows straight off the synthetic web; a live
@@ -282,7 +285,9 @@ def run_crawl(
             # salted host partitioning: a hot host spreads across
             # partitions while each partition paces its hosts locally
             paced = current.repartition(salted_key(F.col("host"), F.col("url")))
-            fetched = fetch_live(paced, delays).cache()
+            fetched = fetch_live(
+                paced, delays, timeout_s=live_timeout_s, proxy=live_proxy
+            ).cache()
         else:
             fetched = fetch_join(current, web).cache()
         html_ok = fetched.where(

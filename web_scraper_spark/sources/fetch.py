@@ -74,10 +74,22 @@ def fetch_join(frontier: DataFrame, web: DataFrame) -> DataFrame:
     return out
 
 
-def fetch_live(frontier: DataFrame, crawl_delays: dict[str, float] | None = None) -> DataFrame:
-    """Live fetch via mapInPandas + thread pool. NOT exercised in CI (no
-    network in the sandbox); the scheduling/pacing logic is unit-tested
-    through ``_pace_batch`` below."""
+def fetch_live(
+    frontier: DataFrame,
+    crawl_delays: dict[str, float] | None = None,
+    timeout_s: float = FETCH_TIMEOUT_S,
+    concurrency: int = PER_PARTITION_CONCURRENCY,
+    proxy: str | None = None,
+) -> DataFrame:
+    """Live fetch via mapInPandas + thread pool. Exercised in CI against a
+    loopback HTTP server and, for full crawl parity, through a loopback
+    HTTP *proxy* serving the synthetic web (tests/test_fetch_live.py,
+    tests/test_live_crawl.py); the scheduling logic is additionally
+    unit-tested through ``_pace_batch`` below.
+
+    ``proxy``: optional ``http://host:port`` forward proxy — the proxy
+    receives absolute request URIs, so fixture hostnames need no DNS.
+    """
     schema = StructType(
         [StructField(f.name, f.dataType) for f in frontier.schema.fields]
         + FETCH_RESULT_FIELDS
@@ -89,10 +101,17 @@ def fetch_live(frontier: DataFrame, crawl_delays: dict[str, float] | None = None
         import urllib.error
         import urllib.request
 
+        if proxy:
+            opener = urllib.request.build_opener(
+                urllib.request.ProxyHandler({"http": proxy})
+            )
+        else:
+            opener = urllib.request.build_opener()
+
         def get(url: str):
             req = urllib.request.Request(url, headers={"User-Agent": USER_AGENT})
             try:
-                with urllib.request.urlopen(req, timeout=FETCH_TIMEOUT_S) as resp:
+                with opener.open(req, timeout=timeout_s) as resp:
                     ctype = resp.headers.get("Content-Type", "")
                     return resp.status, ctype, resp.read()
             except urllib.error.HTTPError as e:
@@ -100,7 +119,7 @@ def fetch_live(frontier: DataFrame, crawl_delays: dict[str, float] | None = None
             except Exception:
                 return 0, "", None  # timeout sentinel; no retry (H7)
 
-        with cf.ThreadPoolExecutor(max_workers=PER_PARTITION_CONCURRENCY) as pool:
+        with cf.ThreadPoolExecutor(max_workers=concurrency) as pool:
             for batch in batches:
                 order = _pace_batch(batch, delays)
                 results = [None] * len(batch)
