@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-depth", type=int, default=1)
     p.add_argument("--live", action="store_true",
                    help="real HTTP fetching (sources/fetch.fetch_live); default is the hermetic fetch-join")
+    p.add_argument("--proxy", default=None,
+                   help="optional http forward proxy for --live (absolute-URI proxying)")
+    p.add_argument("--fetch-timeout", type=float, default=15.0)
     args = p.parse_args(argv)
 
     from web_scraper_spark.session import get_spark
@@ -56,12 +59,16 @@ def main(argv: list[str] | None = None) -> int:
     else:
         if not args.seeds_csv:
             p.error("--seeds-csv or --synthetic-domains required")
-        if args.live:
-            raise NotImplementedError(
-                "live crawling wiring: swap fetch_join for fetch_live in "
-                "plans/crawl (sandbox has no network; see SURVEY.md Phase 4)"
-            )
-        p.error("--seeds-csv without --live needs a web fixture")
+        if not args.live:
+            p.error("--seeds-csv without --live needs a web fixture")
+        # seed lists are driver-scale (the reference ships 997 rows);
+        # at 10^8+ seeds feed them through a frontier table instead
+        rows = (
+            spark.read.option("header", True).csv(args.seeds_csv)
+            .select("domain").collect()
+        )
+        seeds = [r["domain"] or "" for r in rows]
+        web = None
 
     from web_scraper_spark.plans.crawl import run_crawl
 
@@ -77,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         max_depth=args.max_depth,
         use_robots=args.use_robots,
+        live=args.live,
+        live_proxy=args.proxy,
+        live_timeout_s=args.fetch_timeout,
     )
     summary = {
         "rounds": result.rounds,

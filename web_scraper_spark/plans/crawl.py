@@ -201,6 +201,12 @@ def run_crawl(
     # crawl would fetch them in a pre-pass per newly-seen host and append
     # to the same cached rules table. Rules are #hosts rows -> broadcast.
     robots_rules = None
+    if use_robots and web is None:
+        raise ValueError(
+            "use_robots currently builds rules from the web table; a live "
+            "robots pre-pass (fetch http://host/robots.txt per new host) "
+            "plugs in here"
+        )
     if use_robots:
         from web_scraper_spark.sources.robots import build_rules_table, filter_allowed
 
