@@ -190,7 +190,7 @@ def run_crawl(
     extracted_t = SnapshotTable(spark, os.path.join(workdir, "extracted_log"))
     records_t = SnapshotTable(spark, os.path.join(workdir, "company_records"))
     images_t = SnapshotTable(spark, os.path.join(workdir, "images"))
-    metrics_t = SnapshotTable(spark, os.path.join(workdir, "metrics"))
+    discovered_t = SnapshotTable(spark, os.path.join(workdir, "discovered_log"))
     seen = URLSeenSet(spark, os.path.join(workdir, "url_seen"))
 
     if web is not None:
@@ -236,10 +236,13 @@ def run_crawl(
     else:
         # fresh run: clear any stale state from a previous run in this dir
         for t in (frontier_t, log_t, extracted_t, records_t, images_t,
-                  metrics_t, seen.table):
+                  discovered_t, seen.table):
             t.reset()
         seeds_df = _with_priority(_seed_frontier(spark, seeds), priority_expr).cache()
-        seen.add(seeds_df.select("url"))
+        if dedup_contacts:
+            seen.add(seeds_df.select("url"))
+        else:
+            discovered_t.append(seeds_df.select("url"))
         # robots filtering precedes scheduling: blocked URLs consume no
         # politeness slots and never reach the crawl log (url_seen keeps
         # them — they were discovered)
@@ -265,17 +268,6 @@ def run_crawl(
 
         depth_now = current.agg(F.min("depth")).collect()[0][0]
 
-        # ---- log fetch attempts (canonical crawl order, SURVEY.md §3.4)
-        log_t.append(
-            current.select(
-                F.lit(round_no).alias("round"),
-                F.col("depth"),
-                F.col("seed_idx"),
-                canonicalize_url(F.col("url")).alias("url"),
-            ),
-            tag=None,
-        )
-
         # ---- fetch + route --------------------------------------------
         if live:
             from web_scraper_spark.operators.politeness import salted_key
@@ -296,6 +288,20 @@ def run_crawl(
             ).cache()
         else:
             fetched = fetch_join(current, web).cache()
+
+        # ---- crawl log + lineage in ONE write (canonical crawl order,
+        # SURVEY.md §3.4; per-partition lineage columns ride along) ------
+        log_t.append(
+            fetched.select(
+                F.lit(round_no).alias("round"),
+                F.col("depth"),
+                F.col("seed_idx"),
+                canonicalize_url(F.col("url")).alias("url"),
+                F.spark_partition_id().alias("partition_id"),
+                (F.col("status") == 200).cast("long").alias("ok"),
+            ),
+            tag=None,
+        )
         html_ok = fetched.where(
             (F.col("status") == 200) & F.col("content_type").contains("text/html")
         )
@@ -338,23 +344,6 @@ def run_crawl(
                 )
             images_t.append(landed)
 
-        # ---- metrics + lineage ----------------------------------------
-        lineage = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count("*").alias("attempted"),
-                F.sum((F.col("status") == 200).cast("long")).alias("ok"),
-            )
-            .select(
-                F.lit(round_no).alias("round"),
-                F.lit(depth_now).alias("depth"),
-                "partition_id",
-                "attempted",
-                "ok",
-            )
-        )
-        metrics_t.append(lineage)
-
         # ---- next frontier --------------------------------------------
         contacts = (
             extracted.where(F.col("depth") < max_depth)
@@ -386,8 +375,13 @@ def run_crawl(
         if dedup_contacts:
             discovered = discovered.dropDuplicates(["url"])
             discovered = seen.filter_new(discovered)
-        if not discovered.isEmpty():
-            seen.add(discovered.select("url"))
+            if not discovered.isEmpty():
+                seen.add(discovered.select("url"))
+        elif not discovered.isEmpty():
+            # parity mode never READS the seen set mid-crawl (F5: no
+            # contact dedup), so discoveries go to an append-only log —
+            # no per-round dedup shuffle; one distinct at the end
+            discovered_t.append(discovered.select("url"))
         next_depth = _with_priority(
             discovered.select(
                 "url", "host",
@@ -415,7 +409,7 @@ def run_crawl(
 
     # ---- post-loop housekeeping: compact the append-heavy tables so the
     # next epoch (or resume) reads one file set per table ----------------
-    for t in (log_t, extracted_t, seen.table):
+    for t in (log_t, extracted_t, discovered_t, seen.table):
         t.compact()
 
     # ---- one-shot records MERGE over the full extracted log ------------
@@ -456,15 +450,33 @@ def run_crawl(
         "normalized_phone_numbers array<string>, url string, company_name string, "
         "searchable_name string",
     )
-    # exact-row dedup makes the log safe under at-least-once replay (a
+    # logical-key dedup makes the log safe under at-least-once replay (a
     # crash between the log append and the frontier commit re-runs the
     # round); legitimate duplicate fetches (F5) differ in seed_idx so
     # they survive this
+    log_raw = log_t.read()
+    log_df = (
+        log_raw.dropDuplicates(["round", "depth", "seed_idx", "url"])
+        if log_raw is not None
+        else spark.createDataFrame([], "round int, depth int, seed_idx long, url string, partition_id int, ok long")
+    )
+    # per-(round, partition) lineage derives from the fused log columns
+    metrics_df = log_df.groupBy("round", "depth", "partition_id").agg(
+        F.count("*").alias("attempted"), F.sum("ok").alias("ok")
+    )
+    if dedup_contacts:
+        url_seen_df = seen.snapshot_urls()
+    else:
+        d = discovered_t.read()
+        url_seen_df = (
+            d.dropDuplicates(["url"]) if d is not None
+            else spark.createDataFrame([], "url string")
+        )
     return CrawlResult(
-        crawl_log=log_t.read().dropDuplicates(),
-        url_seen=seen.snapshot_urls(),
+        crawl_log=log_df.select("round", "depth", "seed_idx", "url"),
+        url_seen=url_seen_df,
         company_records=records_t.read() if records_t.exists() else empty_records,
         images=images_t.read() if images_t.exists() else None,
-        metrics=metrics_t.read(),
+        metrics=metrics_df,
         rounds=round_no,
     )
