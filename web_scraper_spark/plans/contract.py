@@ -557,3 +557,109 @@ def g3_window_report(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+# B3 — URL canonicalization as a Catalyst expression (the frontier's
+# canonicalizer; html_data_extractor.py:37-42 for absolute URLs)
+@register(
+    "b3_canonicalize_url",
+    """
+    SELECT o_orderkey,
+           regexp_replace(
+             CASE WHEN lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                       IN ('http','https')
+                  THEN lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+                  ELSE 'http' END
+             || '://'
+             || regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)
+             || regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+             '/+$', '') AS canon
+    FROM (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN 'HTTPS://Host-' || o_orderkey || '.test/a/b/?q=1#f'
+                      WHEN o_orderkey % 3 = 1
+                      THEN 'ftp://host-' || o_orderkey || '.test/x/'
+                      ELSE 'http://host-' || o_orderkey || '.test' END AS u
+          FROM orders WHERE o_orderkey % 7 = 0)
+    """,
+)
+def b3_canonicalize_url(spark, sf_dir):
+    from web_scraper_spark.functions.urls import canonicalize_url
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    u = (
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.concat(F.lit("HTTPS://Host-"), F.col("o_orderkey"), F.lit(".test/a/b/?q=1#f")))
+        .when(F.col("o_orderkey") % 3 == 1,
+              F.concat(F.lit("ftp://host-"), F.col("o_orderkey"), F.lit(".test/x/")))
+        .otherwise(F.concat(F.lit("http://host-"), F.col("o_orderkey"), F.lit(".test")))
+    )
+    return o.select("o_orderkey", canonicalize_url(u).alias("canon"))
+
+
+# F2/E3 — per-page set dedup + cross-record union-dedup preserving
+# first-seen order (storage_service.py:55-70 list semantics)
+@register(
+    "e3_list_union_dedup",
+    """
+    SELECT o_custkey,
+           string_agg(pair, '|' ORDER BY o_orderdate, o_orderkey) AS merged_raw,
+           array_to_string(list_sort(list_distinct(list(pair))), '|') AS merged_dedup
+    FROM (SELECT o_custkey, o_orderdate, o_orderkey,
+                 o_orderpriority || '~' || o_orderstatus AS pair
+          FROM orders)
+    GROUP BY o_custkey
+    """,
+)
+def e3_list_union_dedup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pair = F.concat_ws("~", "o_orderpriority", "o_orderstatus")
+    combined = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey", pair.alias("pair"))
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("o_orderdate", "o_orderkey", "pair")
+                        )
+                    ),
+                    lambda s: s["pair"],
+                ),
+                "|",
+            ).alias("merged_raw"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.collect_list("pair"))), "|"
+            ).alias("merged_dedup"),
+        )
+    )
+    return combined
+
+
+# H5 — idempotent keyed upsert: applying the same batch twice equals once
+# (the at-least-once safety argument, storage_service.py:104-112)
+@register(
+    "h5_idempotent_upsert",
+    """
+    WITH batch AS (
+      SELECT o_custkey AS k, list_distinct(list(o_orderpriority)) AS vs
+      FROM orders GROUP BY o_custkey
+    ),
+    twice AS (SELECT * FROM batch UNION ALL SELECT * FROM batch)
+    SELECT k,
+           array_to_string(list_sort(list_distinct(flatten(list(vs)))), '|') AS merged
+    FROM twice GROUP BY k
+    """,
+)
+def h5_idempotent_upsert(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    batch = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.array_distinct(F.collect_list("o_orderpriority")).alias("vs")
+    )
+    twice = batch.unionByName(batch)
+    return twice.groupBy("k").agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("vs")))), "|"
+        ).alias("merged")
+    )
