@@ -27,14 +27,14 @@ fixture scale (where Bloom is sized to zero collisions).
 
 from __future__ import annotations
 
-import math
+
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, IntegerType, StringType, StructField, StructType,
 )
 
 from web_scraper_spark.sources.tables import SnapshotTable

@@ -17,7 +17,7 @@ pairwise step always runs inside buckets only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from web_scraper_spark.plans.contract import ORACLES, QUERIES, register, _t
