@@ -27,8 +27,6 @@ fixture scale (where Bloom is sized to zero collisions).
 
 from __future__ import annotations
 
-
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
