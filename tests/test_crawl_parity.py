@@ -174,3 +174,76 @@ def test_graft_dedup_mode_no_duplicate_fetches(spark, fixture_web, tmp_path):
         .groupBy("url").count().where(F.col("count") > 1)
     )
     assert dupes.isEmpty()
+
+
+def test_resume_dedup_mode_no_lost_discoveries(spark, fixture_web, tmp_path):
+    """Review regression: with dedup_contacts=True, a crash between the
+    frontier commit and the seen-set insert must NOT lose that round's
+    discoveries on resume (the seen set is restored from the checkpoint)."""
+    seeds, web, names, webdf = fixture_web
+    from web_scraper_spark.plans.crawl import run_crawl
+
+    full = run_crawl(spark, seeds, webdf, names,
+                     workdir=str(tmp_path / "full_d"), dedup_contacts=True)
+
+    workdir = str(tmp_path / "intr_d")
+    import web_scraper_spark.sources.tables as tables_mod
+
+    original = tables_mod.SnapshotTable.overwrite
+    calls = {"n": 0}
+
+    def bomb(self, df, tag=None):
+        original(self, df, tag)
+        # die right after the first round's frontier commit — before the
+        # post-commit seen.add runs
+        if tag == "round-0":
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KeyboardInterrupt("simulated driver death")
+
+    tables_mod.SnapshotTable.overwrite = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_crawl(spark, seeds, webdf, names, workdir=workdir,
+                      dedup_contacts=True)
+    finally:
+        tables_mod.SnapshotTable.overwrite = original
+
+    resumed = run_crawl(spark, seeds, webdf, names, workdir=workdir,
+                        resume=True, dedup_contacts=True)
+    got = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                 for r in resumed.crawl_log.collect())
+    exp = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                 for r in full.crawl_log.collect())
+    assert got == exp
+    assert {r.url for r in resumed.url_seen.collect()} == {
+        r.url for r in full.url_seen.collect()
+    }
+
+
+def test_fresh_restart_after_reset_does_not_resume_stale_run(spark, fixture_web, tmp_path):
+    """Review regression: a fresh run's reset must hide the previous
+    run's round tags — resume after an interrupted fresh restart must
+    NOT resurrect the old frontier."""
+    seeds, web, names, webdf = fixture_web
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.tables import SnapshotTable
+
+    workdir = str(tmp_path / "stale")
+    run_crawl(spark, seeds, webdf, names, workdir=workdir)  # completed run
+
+    # simulate a fresh restart that crashed before any round commit:
+    # reset all tables (what the fresh path does first), then resume
+    import os
+    for sub in ("frontier", "crawl_log", "extracted_log", "company_records",
+                "images", "discovered_log", "url_seen"):
+        SnapshotTable(spark, os.path.join(workdir, sub)).reset()
+
+    resumed = run_crawl(spark, seeds, webdf, names, workdir=workdir, resume=True)
+    # last_tag hidden by the reset barrier -> a full fresh crawl ran
+    from web_scraper_spark.oracle.simulator import simulate
+
+    oracle = simulate(seeds, web, names)
+    got = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                 for r in resumed.crawl_log.collect())
+    assert got == oracle.crawl_order

@@ -98,6 +98,26 @@ _BLOOM_OUT_SCHEMA = StructType(
 )
 
 
+def _next_scratch(root: str, keep: int = 2) -> str:
+    """Allocate a scratch dir for the write-once materialization and
+    garbage-collect all but the ``keep`` most recent ones (the previous
+    call's returned DataFrame may still reference its dir lazily; two
+    generations is the documented lifetime)."""
+    import os
+    import shutil
+    import uuid
+
+    base = os.path.join(root, "scratch")
+    os.makedirs(base, exist_ok=True)
+    existing = sorted(
+        (os.path.join(base, d) for d in os.listdir(base)),
+        key=os.path.getmtime,
+    )
+    for old in existing[: max(0, len(existing) - (keep - 1))]:
+        shutil.rmtree(old, ignore_errors=True)
+    return os.path.join(base, uuid.uuid4().hex)
+
+
 def _mix64(h: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — decorrelates the position bases from the
     partition key. Without this, partitioning by ``hash % P`` pins the low
@@ -212,16 +232,13 @@ class BloomURLSeenSet:
         # once, then carve both halves out of the parquet — caching 10^7
         # url rows in executor memory and recomputing the cogroup are both
         # avoided (predicate pushdown makes the bits re-read ~free)
-        import os
-        import uuid
-
-        scratch = os.path.join(self.table.root, "scratch", uuid.uuid4().hex)
+        scratch = _next_scratch(self.table.root)
         result.write.mode("overwrite").parquet(scratch)
         back = self.spark.read.parquet(scratch)
+        # cogroup invokes merge for EVERY key on either side, so each
+        # state partition is always re-emitted — overwrite directly
         new_bits = back.where(F.col("kind") == "bits").select("partition_id", "bits")
-        # carry forward untouched partitions' bitsets
-        untouched = state.join(new_bits.select("partition_id"), "partition_id", "left_anti")
-        self.table.overwrite(new_bits.unionByName(untouched))
+        self.table.overwrite(new_bits)
         return back.where(F.col("kind") == "url").select("url")
 
 
@@ -261,6 +278,11 @@ class CuckooURLSeenSet:
         num_partitions: int = 32,
         buckets_per_partition: int = 1 << 18,  # x4 slots x 2B = 2 MiB
     ):
+        if buckets_per_partition & (buckets_per_partition - 1):
+            # the partial-key alternate index i2 = i1 XOR h(fp) is only an
+            # involution (evicted items stay findable) when m is a power
+            # of two
+            raise ValueError("buckets_per_partition must be a power of two")
         self.spark = spark
         self.table = SnapshotTable(spark, root)
         self.P = num_partitions
@@ -313,7 +335,6 @@ class CuckooURLSeenSet:
                     novel_urls = np.array([], dtype=object)
                 else:
                     fresh = np.nonzero(~present)[0]
-                    inserted = []
                     import random as _random
 
                     rng = _random.Random(pid)
@@ -328,8 +349,10 @@ class CuckooURLSeenSet:
                                 break
                         if not placed:
                             b = i1[row]
+                            path: list[tuple[int, int]] = []
                             for _ in range(max_kicks):
                                 s = rng.randrange(4)
+                                path.append((b, s))
                                 f, slots[b, s] = slots[b, s], f
                                 b = int((np.uint64(b) ^ ((np.uint64(f) * np.uint64(0x5BD1E995)) % np.uint64(m))) % np.uint64(m))
                                 empty = np.nonzero(slots[b] == 0)[0]
@@ -337,9 +360,13 @@ class CuckooURLSeenSet:
                                     slots[b, empty[0]] = f
                                     placed = True
                                     break
-                            # on kick exhaustion the item is reported novel
-                            # but not stored (fail-open)
-                        inserted.append(row)
+                            if not placed:
+                                # kick exhaustion: UNDO the eviction chain
+                                # so no previously-stored fingerprint is
+                                # lost — only the NEW item passes through
+                                # unstored (fail-open)
+                                for b_undo, s_undo in reversed(path):
+                                    f, slots[b_undo, s_undo] = slots[b_undo, s_undo], f
                     novel_urls = cand_iter["url"].to_numpy()[fresh]
                 if len(novel_urls):
                     frames.append(
@@ -364,12 +391,13 @@ class CuckooURLSeenSet:
         import os
         import uuid
 
-        scratch = os.path.join(self.table.root, "scratch", uuid.uuid4().hex)
+        scratch = _next_scratch(self.table.root)
         result.write.mode("overwrite").parquet(scratch)
         back = self.spark.read.parquet(scratch)
+        # cogroup invokes merge for EVERY key on either side, so each
+        # state partition is always re-emitted — overwrite directly
         new_bits = back.where(F.col("kind") == "bits").select("partition_id", "bits")
-        untouched = state.join(new_bits.select("partition_id"), "partition_id", "left_anti")
-        self.table.overwrite(new_bits.unionByName(untouched))
+        self.table.overwrite(new_bits)
         return back.where(F.col("kind") == "url").select("url")
 
     def delete(self, urls: DataFrame) -> None:

@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_scraper_spark.functions.names import normalize_company_name, best_name
@@ -233,6 +233,12 @@ def run_crawl(
         round_no = int(tag.rsplit("-", 1)[1]) + 1
         active = state.where(F.col("round_offset") >= 0)
         staged = state.where(F.col("round_offset") == -1).drop("round_offset")
+        if dedup_contacts:
+            # restore the seen ⊇ enqueued invariant: a crash between the
+            # frontier commit and the (post-commit) seen.add may have
+            # lost the last round's discoveries from the seen set;
+            # re-adding the checkpointed frontier is idempotent
+            seen.add(state.select("url"))
     else:
         # fresh run: clear any stale state from a previous run in this dir
         for t in (frontier_t, log_t, extracted_t, records_t, images_t,
@@ -290,7 +296,12 @@ def run_crawl(
             fetched = fetch_join(current, web).cache()
 
         # ---- crawl log + lineage in ONE write (canonical crawl order,
-        # SURVEY.md §3.4; per-partition lineage columns ride along) ------
+        # SURVEY.md §3.4; per-partition lineage columns ride along).
+        # attempt_no uniquifies legitimate same-key duplicate fetches so
+        # the at-least-once replay dedup never collapses them ------------
+        log_w = Window.partitionBy("round", "depth", "seed_idx", "url").orderBy(
+            "partition_id"
+        )
         log_t.append(
             fetched.select(
                 F.lit(round_no).alias("round"),
@@ -299,7 +310,7 @@ def run_crawl(
                 canonicalize_url(F.col("url")).alias("url"),
                 F.spark_partition_id().alias("partition_id"),
                 (F.col("status") == 200).cast("long").alias("ok"),
-            ),
+            ).withColumn("attempt_no", F.row_number().over(log_w)),
             tag=None,
         )
         html_ok = fetched.where(
@@ -373,10 +384,11 @@ def run_crawl(
             "host", host_of(F.col("url"))
         )
         if dedup_contacts:
-            discovered = discovered.dropDuplicates(["url"])
-            discovered = seen.filter_new(discovered)
-            if not discovered.isEmpty():
-                seen.add(discovered.select("url"))
+            # cache: the anti-join against the whole seen set is the
+            # priciest per-round op — evaluate it once, not per action
+            discovered = seen.filter_new(
+                discovered.dropDuplicates(["url"])
+            ).cache()
         elif not discovered.isEmpty():
             # parity mode never READS the seen set mid-crawl (F5: no
             # contact dedup), so discoveries go to an append-only log —
@@ -397,7 +409,17 @@ def run_crawl(
             staged.withColumn("round_offset", F.lit(-1).cast("long"))
         )
         frontier_t.overwrite(checkpoint, tag=f"round-{round_no}")
+        if dedup_contacts:
+            # seen-set insert AFTER the frontier commit: a crash between
+            # the two re-fetches at most one round's discoveries on
+            # resume (at-least-once) instead of silently LOSING them
+            # (filter_new would have dropped a replayed round's own
+            # discoveries had they been committed first)
+            if not discovered.isEmpty():
+                seen.add(discovered.select("url"))
+            discovered.unpersist()
         round_no += 1
+        prev_active = active
         active = frontier_t.read_at_tag(f"round-{round_no - 1}").where(
             F.col("round_offset") >= 0
         )
@@ -406,6 +428,7 @@ def run_crawl(
         ).drop("round_offset")
         fetched.unpersist()
         extracted.unpersist()
+        prev_active.unpersist()
 
     # ---- post-loop housekeeping: compact the append-heavy tables so the
     # next epoch (or resume) reads one file set per table ----------------
@@ -420,7 +443,8 @@ def run_crawl(
     # ---- names side-input MERGE (SURVEY.md §3.2, scalars last) --------
     if names_rows:
         names_df = spark.createDataFrame(
-            names_rows, "domain string, commercial string, legal string, alln string"
+            [(i, *r) for i, r in enumerate(names_rows)],
+            "row_idx long, domain string, commercial string, legal string, alln string",
         )
         names_batch = (
             names_df.withColumn("dom", domain_from_url(F.col("domain")))
@@ -429,6 +453,16 @@ def run_crawl(
                 "name", best_name(F.col("legal"), F.col("commercial"), F.col("alln"))
             )
             .where(F.col("name").isNotNull())
+            # the merge is keyed by domain: two CSV rows normalizing to
+            # the same domain must collapse to the LAST one (the
+            # reference's per-message upsert makes later rows win)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("dom").orderBy(F.desc("row_idx"))
+                ),
+            )
+            .where(F.col("_rn") == 1)
             .select(
                 F.col("dom").alias("domain"),
                 F.array().cast("array<string>").alias("phone_numbers"),
@@ -456,9 +490,13 @@ def run_crawl(
     # they survive this
     log_raw = log_t.read()
     log_df = (
-        log_raw.dropDuplicates(["round", "depth", "seed_idx", "url"])
+        log_raw.dropDuplicates(["round", "depth", "seed_idx", "url", "attempt_no"])
         if log_raw is not None
-        else spark.createDataFrame([], "round int, depth int, seed_idx long, url string, partition_id int, ok long")
+        else spark.createDataFrame(
+            [],
+            "round int, depth int, seed_idx long, url string, "
+            "partition_id int, ok long, attempt_no int",
+        )
     )
     # per-(round, partition) lineage derives from the fused log columns
     metrics_df = log_df.groupBy("round", "depth", "partition_id").agg(

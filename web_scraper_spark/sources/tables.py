@@ -73,7 +73,9 @@ class SnapshotTable:
 
     # -- public API ---------------------------------------------------------
     def exists(self) -> bool:
-        return self._read_manifest()["current"] is not None
+        """True iff the CURRENT snapshot has data (a reset table does
+        not 'exist' — keeps exists()/read() consistent)."""
+        return bool(self._current_dirs())
 
     def read(self) -> DataFrame | None:
         dirs = self._current_dirs()
@@ -93,16 +95,28 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(path)
         self._commit([path], tag, manifest)
 
+    RESET_TAG = "__reset__"
+
     def last_tag(self) -> str | None:
+        """Most recent user tag — scanning stops at a reset barrier, so a
+        fresh restart's reset hides the previous run's round tags from
+        any later resume."""
         manifest = self._read_manifest()
         for snap in reversed(manifest["snapshots"]):
-            if snap["id"] <= (manifest["current"] or 0) and snap["tag"]:
+            if snap["id"] > (manifest["current"] or 0):
+                continue
+            if snap["tag"] == self.RESET_TAG:
+                return None
+            if snap["tag"]:
                 return snap["tag"]
         return None
 
     def tags(self) -> list[str]:
         manifest = self._read_manifest()
-        return [s["tag"] for s in manifest["snapshots"] if s["tag"]]
+        return [
+            s["tag"] for s in manifest["snapshots"]
+            if s["tag"] and s["tag"] != self.RESET_TAG
+        ]
 
     def read_at_tag(self, tag: str) -> DataFrame | None:
         manifest = self._read_manifest()
@@ -115,10 +129,13 @@ class SnapshotTable:
 
     def reset(self) -> None:
         """Commit an empty snapshot — a fresh run over a dirty workdir
-        must not read stale state. Old snapshots stay readable by tag."""
+        must not read stale state, and the reset barrier also hides the
+        old run's tags from ``last_tag`` (a crash right after a fresh
+        restart must not resume the PREVIOUS run's frontier against
+        freshly-reset logs)."""
         manifest = self._read_manifest()
         if manifest["current"] is not None:
-            self._commit([], None, manifest)
+            self._commit([], self.RESET_TAG, manifest)
 
     def compact(self) -> None:
         """Rewrite the current snapshot as one directory (the Iceberg
