@@ -49,3 +49,28 @@ def test_cuckoo_deletion_allows_refetch(spark, tmp_path):
     cuckoo.delete(forget)
     again = {r.url for r in cuckoo.filter_and_add(batch).collect()}
     assert again == {r.url for r in forget.collect()}
+
+
+def test_crawl_dedup_with_approx_seen_modes(spark, tmp_path):
+    """The crawl's dedup path over Bloom/Cuckoo seen sets (sized for zero
+    FP at fixture scale) produces the same final state as exact mode."""
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.synthetic_web import build_web, web_host_df
+
+    seeds, web = build_web(15)
+    webdf = web_host_df(spark, 15)
+
+    exact = run_crawl(spark, seeds, webdf, None,
+                      workdir=str(tmp_path / "ex"), dedup_contacts=True)
+    exact_log = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                       for r in exact.crawl_log.collect())
+    exact_seen = {r.url for r in exact.url_seen.collect()}
+
+    for mode in ("bloom", "cuckoo"):
+        res = run_crawl(spark, seeds, webdf, None,
+                        workdir=str(tmp_path / mode), dedup_contacts=True,
+                        seen_mode=mode)
+        got_log = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                         for r in res.crawl_log.collect())
+        assert got_log == exact_log, mode
+        assert {r.url for r in res.url_seen.collect()} == exact_seen, mode

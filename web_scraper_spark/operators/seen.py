@@ -169,14 +169,17 @@ class BloomURLSeenSet:
             return self.spark.createDataFrame([], _BLOOM_STATE_SCHEMA)
         return df
 
-    def filter_and_add(self, candidates: DataFrame) -> DataFrame:
-        """One pass: returns the NOVEL URLS (column ``url`` only) and
-        persists updated bitsets. Callers needing the full candidate rows
-        join against the result — the common paths (counting, enqueueing
-        plain URLs) skip that second shuffle entirely. (Bloom can't
-        separate test from insert cheaply across a round; exact mode
-        keeps the two-step API.)"""
+    def filter_and_add(self, candidates: DataFrame, insert: bool = True) -> DataFrame:
+        """One pass: returns the NOVEL URLS (column ``url`` only) and —
+        when ``insert`` — persists updated bitsets. ``insert=False`` is
+        the crash-safe test-only pass: callers that must checkpoint
+        between discovering and committing novelty (the crawl loop) test
+        first, checkpoint, then call again with ``insert=True``.
+        Callers needing the full candidate rows join against the result —
+        the common paths (counting, enqueueing plain URLs) skip that
+        second shuffle entirely."""
         m, k = self.m, self.k
+        do_insert = insert
 
         cand = candidates.withColumn("hash", F.xxhash64(F.col("url"))).withColumn(
             "partition_id", F.pmod(F.col("hash"), F.lit(self.P)).cast("int")
@@ -199,7 +202,10 @@ class BloomURLSeenSet:
                 masks = (1 << (pos & 7)).astype(np.uint8)
                 present = ((bits[bytes_idx] & masks) == masks).all(axis=1)
                 fresh = ~present
-                np.bitwise_or.at(bits, bytes_idx[fresh].ravel(), masks[fresh].ravel())
+                if do_insert:
+                    np.bitwise_or.at(
+                        bits, bytes_idx[fresh].ravel(), masks[fresh].ravel()
+                    )
                 out_urls = cand_iter["url"].to_numpy()[fresh]
                 frames.append(
                     pd.DataFrame(
@@ -235,10 +241,13 @@ class BloomURLSeenSet:
         scratch = _next_scratch(self.table.root)
         result.write.mode("overwrite").parquet(scratch)
         back = self.spark.read.parquet(scratch)
-        # cogroup invokes merge for EVERY key on either side, so each
-        # state partition is always re-emitted — overwrite directly
-        new_bits = back.where(F.col("kind") == "bits").select("partition_id", "bits")
-        self.table.overwrite(new_bits)
+        if do_insert:
+            # cogroup invokes merge for EVERY key on either side, so each
+            # state partition is always re-emitted — overwrite directly
+            new_bits = back.where(F.col("kind") == "bits").select(
+                "partition_id", "bits"
+            )
+            self.table.overwrite(new_bits)
         return back.where(F.col("kind") == "url").select("url")
 
 
@@ -294,10 +303,15 @@ class CuckooURLSeenSet:
             return self.spark.createDataFrame([], _BLOOM_STATE_SCHEMA)
         return df
 
-    def filter_and_add(self, candidates: DataFrame, delete: bool = False) -> DataFrame:
-        """delete=False: returns novel urls + inserts them.
-        delete=True: removes the given urls from the filter instead."""
+    def filter_and_add(
+        self, candidates: DataFrame, delete: bool = False, insert: bool = True
+    ) -> DataFrame:
+        """delete=False: returns novel urls + (when ``insert``) stores
+        them — ``insert=False`` is the crash-safe test-only pass (see
+        BloomURLSeenSet.filter_and_add). delete=True: removes the given
+        urls from the filter instead."""
         m, P, max_kicks = self.m, self.P, self.MAX_KICKS
+        do_insert = insert
         # plain module functions only — a bound method would drag `self`
         # (and its SparkSession) into the executor closure
         fingerprint = _cuckoo_fp
@@ -338,7 +352,7 @@ class CuckooURLSeenSet:
                     import random as _random
 
                     rng = _random.Random(pid)
-                    for row in fresh:
+                    for row in fresh if do_insert else ():
                         f = fp[row]
                         placed = False
                         for b in (i1[row], i2[row]):
@@ -388,16 +402,16 @@ class CuckooURLSeenSet:
             .cogroup(state.groupBy("partition_id"))
             .applyInPandas(merge, _BLOOM_OUT_SCHEMA)
         )
-        import os
-        import uuid
-
         scratch = _next_scratch(self.table.root)
         result.write.mode("overwrite").parquet(scratch)
         back = self.spark.read.parquet(scratch)
-        # cogroup invokes merge for EVERY key on either side, so each
-        # state partition is always re-emitted — overwrite directly
-        new_bits = back.where(F.col("kind") == "bits").select("partition_id", "bits")
-        self.table.overwrite(new_bits)
+        if do_insert or delete:
+            # cogroup invokes merge for EVERY key on either side, so each
+            # state partition is always re-emitted — overwrite directly
+            new_bits = back.where(F.col("kind") == "bits").select(
+                "partition_id", "bits"
+            )
+            self.table.overwrite(new_bits)
         return back.where(F.col("kind") == "url").select("url")
 
     def delete(self, urls: DataFrame) -> None:

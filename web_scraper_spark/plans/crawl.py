@@ -178,6 +178,7 @@ def run_crawl(
     live_proxy: str | None = None,
     live_timeout_s: float = 15.0,
     priority_expr=None,
+    seen_mode: str = "exact",
 ) -> CrawlResult:
     """Run (or resume) the full crawl. ``dedup_contacts=False`` mirrors
     the reference's duplicate-fetch behavior (SURVEY.md F5); True enables
@@ -191,7 +192,24 @@ def run_crawl(
     records_t = SnapshotTable(spark, os.path.join(workdir, "company_records"))
     images_t = SnapshotTable(spark, os.path.join(workdir, "images"))
     discovered_t = SnapshotTable(spark, os.path.join(workdir, "discovered_log"))
-    seen = URLSeenSet(spark, os.path.join(workdir, "url_seen"))
+    if seen_mode == "exact":
+        seen = URLSeenSet(spark, os.path.join(workdir, "url_seen"))
+    elif seen_mode == "bloom":
+        from web_scraper_spark.operators.seen import BloomURLSeenSet
+
+        seen = BloomURLSeenSet(spark, os.path.join(workdir, "url_seen"))
+    elif seen_mode == "cuckoo":
+        from web_scraper_spark.operators.seen import CuckooURLSeenSet
+
+        seen = CuckooURLSeenSet(spark, os.path.join(workdir, "url_seen"))
+    else:
+        raise ValueError(f"unknown seen_mode {seen_mode!r}")
+    approx_seen = seen_mode != "exact"
+    if approx_seen and not dedup_contacts:
+        raise ValueError(
+            "approximate seen modes only apply with dedup_contacts=True "
+            "(parity mode never reads the seen set mid-crawl)"
+        )
 
     if web is not None:
         web = web.cache()
@@ -235,10 +253,14 @@ def run_crawl(
         staged = state.where(F.col("round_offset") == -1).drop("round_offset")
         if dedup_contacts:
             # restore the seen ⊇ enqueued invariant: a crash between the
-            # frontier commit and the (post-commit) seen.add may have
+            # frontier commit and the (post-commit) seen insert may have
             # lost the last round's discoveries from the seen set;
-            # re-adding the checkpointed frontier is idempotent
-            seen.add(state.select("url"))
+            # re-adding the checkpointed frontier is idempotent (approx
+            # modes test membership before inserting)
+            if approx_seen:
+                seen.filter_and_add(state.select("url")).count()
+            else:
+                seen.add(state.select("url"))
     else:
         # fresh run: clear any stale state from a previous run in this dir
         for t in (frontier_t, log_t, extracted_t, records_t, images_t,
@@ -246,7 +268,11 @@ def run_crawl(
             t.reset()
         seeds_df = _with_priority(_seed_frontier(spark, seeds), priority_expr).cache()
         if dedup_contacts:
-            seen.add(seeds_df.select("url"))
+            if approx_seen:
+                seen.filter_and_add(seeds_df.select("url")).count()
+                discovered_t.append(seeds_df.select("url"))
+            else:
+                seen.add(seeds_df.select("url"))
         else:
             discovered_t.append(seeds_df.select("url"))
         # robots filtering precedes scheduling: blocked URLs consume no
@@ -384,11 +410,16 @@ def run_crawl(
             "host", host_of(F.col("url"))
         )
         if dedup_contacts:
-            # cache: the anti-join against the whole seen set is the
-            # priciest per-round op — evaluate it once, not per action
-            discovered = seen.filter_new(
-                discovered.dropDuplicates(["url"])
-            ).cache()
+            # cache: the membership test against the whole seen set is
+            # the priciest per-round op — evaluate it once, not per action
+            deduped = discovered.dropDuplicates(["url"])
+            if approx_seen:
+                # crash-safe two-phase: test-only now, insert after the
+                # frontier commit below
+                novel = seen.filter_and_add(deduped.select("url"), insert=False)
+                discovered = deduped.join(novel, "url", "left_semi").cache()
+            else:
+                discovered = seen.filter_new(deduped).cache()
         elif not discovered.isEmpty():
             # parity mode never READS the seen set mid-crawl (F5: no
             # contact dedup), so discoveries go to an append-only log —
@@ -416,7 +447,11 @@ def run_crawl(
             # (filter_new would have dropped a replayed round's own
             # discoveries had they been committed first)
             if not discovered.isEmpty():
-                seen.add(discovered.select("url"))
+                if approx_seen:
+                    seen.filter_and_add(discovered.select("url")).count()
+                    discovered_t.append(discovered.select("url"))
+                else:
+                    seen.add(discovered.select("url"))
             discovered.unpersist()
         round_no += 1
         prev_active = active
@@ -502,9 +537,11 @@ def run_crawl(
     metrics_df = log_df.groupBy("round", "depth", "partition_id").agg(
         F.count("*").alias("attempted"), F.sum("ok").alias("ok")
     )
-    if dedup_contacts:
+    if dedup_contacts and not approx_seen:
         url_seen_df = seen.snapshot_urls()
     else:
+        # parity mode and approx modes enumerate from the discovered log
+        # (a Bloom/Cuckoo filter cannot list its members)
         d = discovered_t.read()
         url_seen_df = (
             d.dropDuplicates(["url"]) if d is not None
