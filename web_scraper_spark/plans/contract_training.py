@@ -744,3 +744,75 @@ def ann_ivf_topk(spark, sf_dir):
 
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))  # over 5 rows only
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# Iterative algorithm — k-means (Lloyd's) in pure DataFrame ops, used as
+# a REAL trained coarse quantizer for IVF ANN. No SQL oracle (iterative
+# driver loop is not one-shot-SQL-expressible; the driver records the
+# rows-only check), but the output is deterministic: k-means++-free
+# seeding from fixed vec_ids, 3 Lloyd iterations, ties broken by label.
+# Scale shape: each iteration is one groupBy (assignments never leave the
+# executors except as k centroids), the k centroids broadcast back.
+@register("ann_ivf_kmeans")
+def ann_ivf_kmeans(spark, sf_dir):
+    from pyspark.sql import Window
+
+    K = 8
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def assign(df, cents):
+        """Nearest-centroid assignment via one broadcast join."""
+        j = df.crossJoin(F.broadcast(cents))
+        d2 = F.aggregate(
+            F.zip_with(F.col("embedding"), F.col("centroid"),
+                       lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            j.withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+
+    # deterministic seeding: the first K vec_ids are the initial centroids
+    cents = (
+        e.where(F.col("vec_id") < K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    for _ in range(3):  # Lloyd iterations
+        assigned = assign(e, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("cs"))
+            .select("cid", F.transform(F.col("cs"), lambda s: s["c"]).alias("centroid"))
+        )
+        cents = cents.cache()
+        cents.count()
+
+    # IVF probe: route the query to its centroid, brute-force inside
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    qcid = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", cosine(F.col("centroid"),
+                              F.transform(F.col("qe"), lambda x: x.cast("double"))).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cid"))
+        .limit(1)
+        .select("cid")
+    )
+    members = assign(e, cents).join(F.broadcast(qcid), "cid", "left_semi")
+    scored = (
+        members.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"))
+    )
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(5)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
