@@ -68,6 +68,22 @@ def test_extract_udf_pipelines_on_fetch(spark):
     assert not any("Exchange" in l for l in between), between
 
 
+def test_ann_cosine_topk_no_global_sort(spark, sf_dir):
+    """The brute-force ANN baseline must rank via a distributed
+    TakeOrderedAndProject, never a single-partition global window over
+    the whole scored corpus (VERDICT r1)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["ann_cosine_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the only window is the rank over the <=10 survivors, so no
+    # Exchange SinglePartition may appear BELOW the TakeOrdered node
+    tree = plan.split("== Physical Plan ==", 1)[-1].split("\n\n", 1)[0].splitlines()
+    take_idx = next(i for i, l in enumerate(tree) if "TakeOrderedAndProject" in l)
+    below = tree[take_idx:]
+    assert not any("Exchange SinglePartition" in l for l in below), below
+
+
 def test_match_broadcasts_query_table(spark, sf_dir):
     from web_scraper_spark.operators.match import match_top1
 

@@ -468,10 +468,15 @@ def g2_fill_rates(spark, sf_dir):
 )
 def g4_match_rate(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    total = e.count()
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.lit(100.0) * F.count("*") / F.lit(total), 2).alias("pct"),
+    # the denominator comes from a global window over the ALREADY-grouped
+    # result (a handful of event_type rows) — one job, one scan, instead
+    # of a driver-side count() that re-reads the table
+    grouped = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return grouped.select(
+        "event_type",
+        "n",
+        F.round(F.lit(100.0) * F.col("n") / total, 2).alias("pct"),
     )
 
 

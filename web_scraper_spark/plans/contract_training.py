@@ -216,7 +216,7 @@ ORACLES["dedup_simhash"] = f"""
     f"""
     WITH g AS (
       SELECT doc_id, n_chars // 50 AS bucket,
-             list_distinct([substr(head, i, 4) for i in range(1, len(head) - 2)]) AS grams
+             list_distinct([substr(head, i, 4) for i in range(1, greatest(len(head) - 2, 2))]) AS grams
       FROM (SELECT doc_id, n_chars, substr(text, 1, 64) AS head FROM documents)
     ),
     gb AS (
@@ -286,12 +286,17 @@ def ann_cosine_topk(spark, sf_dir):
     )
     j = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     cos = F.round(cosine(F.col("embedding"), F.col("q_embedding")), 6)
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
+    # orderBy+limit compiles to distributed TakeOrderedAndProject (each
+    # partition keeps its local top-10, the driver merges k*P rows) —
+    # never a single-partition window over the whole scored corpus. The
+    # rank window then runs over the 10 survivors only.
+    top = (
         j.select("vec_id", "label", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
     )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 ORACLES["ann_cosine_topk"] = """
@@ -816,3 +821,91 @@ def ann_ivf_kmeans(spark, sf_dir):
     top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# DuckDB oracles for the two IVF queries. Elementwise centroid means are
+# computed by zipping parallel unnests (value, 1-based position) and
+# re-assembling with an ordered list() aggregate; FP-order differences
+# between engines are ~1e-13 relative, far below the round-6 comparison.
+_SQL_COS = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+def _sql_centroids(src: str, key: str) -> str:
+    return f"""
+      SELECT {key}, list(c ORDER BY i) AS centroid
+      FROM (SELECT {key}, i, avg(x) AS c
+            FROM (SELECT {key}, unnest(emb) AS x,
+                         unnest(range(1, len(emb) + 1)) AS i FROM {src})
+            GROUP BY {key}, i)
+      GROUP BY {key}"""
+
+
+ORACLES["ann_ivf_topk"] = f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+    cent AS ({_sql_centroids("e", "label")}),
+    target AS (
+      SELECT label FROM (
+        SELECT c.label, {_SQL_COS.format(a="c.centroid", b="q.qe")} AS sim
+        FROM cent c, q)
+      ORDER BY sim DESC, label ASC LIMIT 1),
+    scored AS (
+      SELECT a.vec_id, a.label,
+             round({_SQL_COS.format(a="a.emb", b="q.qe")}, 6) AS cos
+      FROM e a JOIN target t ON a.label = t.label, q
+      WHERE a.vec_id <> 0)
+    SELECT vec_id, label, cos,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM (SELECT * FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 5)
+"""
+
+
+def _sql_kmeans() -> str:
+    """ann_ivf_kmeans has fixed K=8 and exactly 3 Lloyd iterations, so the
+    oracle unrolls them as chained CTEs (assignment a{i} from centroids
+    c{i-1}, new centroids c{i} from a{i})."""
+    d2 = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i])))"
+    )
+    assign = """
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2} ASC, c.cid ASC) AS rn
+        FROM e, {cents} c)
+      WHERE rn = 1"""
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings)",
+        "c0 AS (SELECT vec_id::INT AS cid, emb AS centroid FROM e WHERE vec_id < 8)",
+    ]
+    for it in range(1, 4):
+        ctes.append(f"a{it} AS ({assign.format(d2=d2, cents=f'c{it - 1}')})")
+        ctes.append(f"c{it} AS ({_sql_centroids(f'a{it}', 'cid')})")
+    ctes.append("q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)")
+    ctes.append(f"""qcid AS (
+      SELECT cid FROM (
+        SELECT c.cid, {_SQL_COS.format(a="c.centroid", b="q.qe")} AS sim
+        FROM c3 c, q)
+      ORDER BY sim DESC, cid ASC LIMIT 1)""")
+    ctes.append(f"a4 AS ({assign.format(d2=d2, cents='c3')})")
+    ctes.append(f"""scored AS (
+      SELECT m.vec_id, round({_SQL_COS.format(a="m.emb", b="q.qe")}, 6) AS cos
+      FROM a4 m JOIN qcid ON m.cid = qcid.cid, q
+      WHERE m.vec_id <> 0)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+    SELECT vec_id, cos,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM (SELECT * FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 5)
+    """
+    )
+
+
+ORACLES["ann_ivf_kmeans"] = _sql_kmeans()
