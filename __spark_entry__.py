@@ -56,12 +56,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from web_scraper_spark.plans.contract import QUERIES as base
 
     out = dict(base)
-    try:
-        from web_scraper_spark.plans.contract_training import QUERIES as training
+    for mod in ("contract_training", "contract_extract"):
+        try:
+            import importlib
 
-        out.update(training)
-    except ImportError:
-        pass
+            m = importlib.import_module(f"web_scraper_spark.plans.{mod}")
+            out.update(m.QUERIES)
+        except ImportError:
+            pass
     return out
 
 
@@ -69,10 +71,12 @@ def oracle_sql() -> dict[str, str]:
     from web_scraper_spark.plans.contract import ORACLES as base
 
     out = dict(base)
-    try:
-        from web_scraper_spark.plans.contract_training import ORACLES as training
+    for mod in ("contract_training", "contract_extract"):
+        try:
+            import importlib
 
-        out.update(training)
-    except ImportError:
-        pass
+            m = importlib.import_module(f"web_scraper_spark.plans.{mod}")
+            out.update(m.ORACLES)
+        except ImportError:
+            pass
     return out
