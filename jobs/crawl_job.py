@@ -34,8 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="use the hermetic synthetic web with N domains instead of --seeds-csv")
     p.add_argument("--workdir", required=True)
     p.add_argument("--politeness-budget", type=int, default=None)
-    p.add_argument("--politeness-method", choices=["window", "range"], default="window")
-    p.add_argument("--use-robots", action="store_true")
+    p.add_argument("--politeness-method", choices=["window", "range"], default="range",
+                   help="range (default) is the skew-safe scheduler; window is the semantics baseline")
+    p.add_argument("--use-robots", action="store_true",
+                   help="robots.txt enforcement; with --live the rules are fetched per new host (pre-pass), hermetic mode reads them off the web fixture")
     p.add_argument("--dedup", action="store_true",
                    help="graft mode: URL-seen dedup at every depth (default mirrors the reference's duplicate-fetch semantics)")
     p.add_argument("--resume", action="store_true")

@@ -221,6 +221,53 @@ def test_resume_dedup_mode_no_lost_discoveries(spark, fixture_web, tmp_path):
     }
 
 
+@pytest.mark.parametrize("seen_mode", ["bloom", "cuckoo"])
+def test_resume_approx_seen_no_lost_discoveries(spark, fixture_web, tmp_path, seen_mode):
+    """ADVICE r1 (medium): in approx seen modes a crash between the
+    frontier commit and the post-commit bookkeeping must not drop that
+    round's discoveries from the reported url_seen set — the filter can't
+    be enumerated, so the discovered log must be written BEFORE the
+    filter insert and re-appended on resume."""
+    seeds, web, names, webdf = fixture_web
+    from web_scraper_spark.plans.crawl import run_crawl
+
+    full = run_crawl(spark, seeds, webdf, names,
+                     workdir=str(tmp_path / "full_a"),
+                     dedup_contacts=True, seen_mode=seen_mode)
+
+    workdir = str(tmp_path / "intr_a")
+    import web_scraper_spark.sources.tables as tables_mod
+
+    original = tables_mod.SnapshotTable.overwrite
+    calls = {"n": 0}
+
+    def bomb(self, df, tag=None):
+        original(self, df, tag)
+        if tag == "round-0":
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KeyboardInterrupt("simulated driver death")
+
+    tables_mod.SnapshotTable.overwrite = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_crawl(spark, seeds, webdf, names, workdir=workdir,
+                      dedup_contacts=True, seen_mode=seen_mode)
+    finally:
+        tables_mod.SnapshotTable.overwrite = original
+
+    resumed = run_crawl(spark, seeds, webdf, names, workdir=workdir,
+                        resume=True, dedup_contacts=True, seen_mode=seen_mode)
+    got = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                 for r in resumed.crawl_log.collect())
+    exp = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                 for r in full.crawl_log.collect())
+    assert got == exp
+    assert {r.url for r in resumed.url_seen.collect()} == {
+        r.url for r in full.url_seen.collect()
+    }
+
+
 def test_fresh_restart_after_reset_does_not_resume_stale_run(spark, fixture_web, tmp_path):
     """Review regression: a fresh run's reset must hide the previous
     run's round tags — resume after an interrupted fresh restart must

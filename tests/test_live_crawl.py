@@ -12,7 +12,9 @@ import pytest
 from web_scraper_spark.oracle.simulator import canonicalize, simulate
 from web_scraper_spark.sources.synthetic_web import build_web, web_host_df
 
-N = 12
+# 20 domains: large enough that robots-bearing hosts (every 4th) carry
+# contact links the disallow rules actually block (4 URLs at N=20)
+N = 20
 
 
 @pytest.fixture(scope="module")
@@ -89,3 +91,38 @@ def test_live_crawl_matches_oracle(spark, fixture, proxy, tmp_path):
         if doc["url"] is None:
             continue
         assert got_docs[domain] == (doc["phone_numbers"], doc["social_media_links"]), domain
+
+
+def test_live_crawl_with_robots_matches_oracle(spark, fixture, proxy, tmp_path):
+    """The LIVE robots pre-pass: per-new-host /robots.txt fetched through
+    the same proxy, cached in the rules table, enforced like the hermetic
+    path — crawl order must match the oracle with use_robots=True (blocked
+    URLs never fetched, still in url_seen)."""
+    import os
+
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.tables import SnapshotTable
+
+    seeds, web, _ = fixture
+    oracle = simulate(seeds, web, None, use_robots=True)
+    oracle_plain = simulate(seeds, web, None, use_robots=False)
+    # the fixture must actually block something, or this test is vacuous
+    assert len(oracle.crawl_order) < len(oracle_plain.crawl_order)
+
+    result = run_crawl(
+        spark, seeds, None, None,
+        workdir=str(tmp_path),
+        live=True, live_proxy=proxy, live_timeout_s=5.0,
+        use_robots=True,
+    )
+    got = sorted(
+        (r["round"], r.depth, r.seed_idx, r.url) for r in result.crawl_log.collect()
+    )
+    assert got == oracle.crawl_order
+    assert {r.url for r in result.url_seen.collect()} == oracle.url_seen
+
+    # the rules cache holds one row per host (incl. empty-rule rows for
+    # hosts without a robots.txt) — the pre-pass never re-fetches
+    rules = SnapshotTable(spark, os.path.join(str(tmp_path), "robots_rules")).read()
+    hosts_with_rules = {r["host"] for r in rules.collect() if r["disallow"]}
+    assert hosts_with_rules == {f"acme-{i:04d}.test" for i in range(N) if i % 4 == 3}

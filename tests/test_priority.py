@@ -50,3 +50,40 @@ def test_custom_priority_matches_oracle(spark, tmp_path):
     )
     assert got == oracle.crawl_order
     assert {r.url for r in result.url_seen.collect()} == oracle.url_seen
+
+
+def test_politeness_tiebreak_is_raw_url_on_both_sides(spark):
+    """ADVICE r1: rows sharing (priority, seed_idx) must tiebreak on the
+    RAW frontier url in both the engine (ORDER_COLS) and the oracle
+    (frontier_sort_key). The fixture pair flips order between raw and
+    canonical forms ('HTTPS://...' sorts before 'http://...' raw, after
+    it canonicalized), so a divergence would misassign rounds."""
+    from web_scraper_spark.operators.politeness import assign_rounds
+    from web_scraper_spark.oracle.simulator import canonicalize, frontier_sort_key
+
+    rows = [
+        ("HTTPS://h.test/a", "h.test", 0, 0, "http://h.test", None, 0.0),
+        ("http://h.test/x", "h.test", 0, 0, "http://h.test", None, 0.0),
+    ]
+    # sanity: this pair really distinguishes raw from canonical ordering
+    raw_order = sorted(r[0] for r in rows)
+    canon_order = sorted((r[0] for r in rows), key=canonicalize)
+    assert raw_order != canon_order
+
+    frontier = spark.createDataFrame(
+        rows,
+        "url string, host string, depth int, seed_idx long, seed_url string, "
+        "caption string, priority double",
+    )
+    expected = {
+        r[0]: rank
+        for rank, r in enumerate(
+            sorted(rows, key=lambda r: frontier_sort_key(r[6], r[3], r[0]))
+        )
+    }
+    for method in ("window", "range"):
+        got = {
+            r["url"]: r["round_offset"]
+            for r in assign_rounds(frontier, 1, method).collect()
+        }
+        assert got == expected, method

@@ -74,3 +74,20 @@ def test_crawl_dedup_with_approx_seen_modes(spark, tmp_path):
                          for r in res.crawl_log.collect())
         assert got_log == exact_log, mode
         assert {r.url for r in res.url_seen.collect()} == exact_seen, mode
+
+
+def test_exact_seen_compact_dedups(spark, tmp_path):
+    """ADVICE r1: resume re-adds are idempotent only if compaction
+    collapses the (hash, url) duplicates — URLSeenSet owns that."""
+    from web_scraper_spark.operators.seen import URLSeenSet
+
+    s = URLSeenSet(spark, str(tmp_path / "cse"))
+    batch = _urls(spark, 0, 200)
+    s.add(batch)
+    s.add(batch)  # simulated resume re-add
+    assert s.table.read().count() == 400
+    s.compact()
+    assert s.table.read().count() == 200
+    assert s.snapshot_urls().count() == 200
+    # novelty unchanged by compaction
+    assert s.filter_new(batch).isEmpty()

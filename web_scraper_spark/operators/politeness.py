@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 
 # priority first (the distributed priority-queue dimension: lower value
-# drains earlier), then the deterministic tiebreak
+# drains earlier), then the deterministic tiebreak. The url tiebreak is
+# the RAW frontier url — the oracle simulator's rounds_for sorts by the
+# same raw key (oracle/simulator.py frontier_sort_key); engine and oracle
+# must change together (CLAUDE.md invariant).
 ORDER_COLS = ["priority", "seed_idx", "url"]
 
 
@@ -86,13 +89,18 @@ def assign_rounds_range(frontier: DataFrame, budget: int) -> DataFrame:
     return out
 
 
-def assign_rounds(frontier: DataFrame, budget: int | None, method: str = "window") -> DataFrame:
-    """Adds ``round_offset`` (0 = fetch this round). budget=None -> all 0."""
+def assign_rounds(frontier: DataFrame, budget: int | None, method: str = "range") -> DataFrame:
+    """Adds ``round_offset`` (0 = fetch this round). budget=None -> all 0.
+
+    Default is the skew-safe ``range`` method: at the 10^9-hot-host design
+    point the ``window`` form serializes one host into a single
+    partition's sort (VERDICT r1). ``window`` stays available as the
+    semantics baseline; parity tests assert the two are identical."""
     if budget is None:
         return frontier.withColumn("round_offset", F.lit(0).cast("long"))
-    if method == "range":
-        return assign_rounds_range(frontier, budget)
-    return assign_rounds_window(frontier, budget)
+    if method == "window":
+        return assign_rounds_window(frontier, budget)
+    return assign_rounds_range(frontier, budget)
 
 
 def salted_key(host: Column, url: Column, salt_buckets: int = 16) -> Column:

@@ -75,6 +75,12 @@ class URLSeenSet:
         batch = batch.repartition(self.num_buckets, F.col("hash"))
         self.table.append(batch.select("hash", "url"))
 
+    def compact(self) -> None:
+        """Compaction owns the logical-key dedup: cross-append duplicates
+        (idempotent resume re-adds) collapse here, keeping the documented
+        ``add`` invariant true and the table size O(distinct urls)."""
+        self.table.compact(dedup_cols=["hash", "url"])
+
     def snapshot_urls(self) -> DataFrame:
         seen = self.table.read()
         if seen is None:
@@ -168,6 +174,11 @@ class BloomURLSeenSet:
         if df is None:
             return self.spark.createDataFrame([], _BLOOM_STATE_SCHEMA)
         return df
+
+    def compact(self) -> None:
+        """Bitset state is overwritten whole per insert — compaction just
+        rewrites the current snapshot into one directory."""
+        self.table.compact()
 
     def filter_and_add(self, candidates: DataFrame, insert: bool = True) -> DataFrame:
         """One pass: returns the NOVEL URLS (column ``url`` only) and —
@@ -302,6 +313,11 @@ class CuckooURLSeenSet:
         if df is None:
             return self.spark.createDataFrame([], _BLOOM_STATE_SCHEMA)
         return df
+
+    def compact(self) -> None:
+        """Slot state is overwritten whole per insert — compaction just
+        rewrites the current snapshot into one directory."""
+        self.table.compact()
 
     def filter_and_add(
         self, candidates: DataFrame, delete: bool = False, insert: bool = True

@@ -138,6 +138,15 @@ def canonicalize(url: str) -> str:
     return f"{scheme}://{p.netloc}{p.path}".rstrip("/")
 
 
+def frontier_sort_key(priority: float, seed_idx: int, url: str):
+    """Politeness drain order per host: (priority, seed_idx, RAW frontier
+    url) — byte-identical to the engine's ORDER_COLS
+    (operators/politeness.py). The url tiebreak is the raw frontier url,
+    NOT its canonical form: a non-canonical frontier entry (e.g. a
+    trailing-slash seed alias) must sort the same way on both sides."""
+    return (priority, seed_idx, url)
+
+
 @dataclass
 class OracleResult:
     crawl_order: list[tuple[int, int, int, str]]  # (round, depth, seed_idx, url)
@@ -243,7 +252,7 @@ def simulate(
         out: dict[int, list] = {}
         for entry in sorted(
             batch,
-            key=lambda e: (entry_priority(e, depth), e[0], canonicalize(e[1])),
+            key=lambda e: frontier_sort_key(entry_priority(e, depth), e[0], e[1]),
         ):
             host = urlparse(entry[1]).netloc.lower()
             rank = per_host_rank.get(host, 0)

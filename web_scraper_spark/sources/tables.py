@@ -137,12 +137,18 @@ class SnapshotTable:
         if manifest["current"] is not None:
             self._commit([], self.RESET_TAG, manifest)
 
-    def compact(self) -> None:
+    def compact(self, dedup_cols: list[str] | None = None) -> None:
         """Rewrite the current snapshot as one directory (the Iceberg
-        analogue is rewrite_data_files). Call between crawl epochs."""
+        analogue is rewrite_data_files). Call between crawl epochs.
+        ``dedup_cols``: logical-key columns to dropDuplicates on during
+        the rewrite — for append-only tables whose appends are idempotent
+        by key (e.g. the URL-seen table, re-appended on every resume),
+        compaction is where the duplicates actually collapse."""
         df = self.read()
         if df is None:
             return
+        if dedup_cols:
+            df = df.dropDuplicates(dedup_cols)
         manifest = self._read_manifest()
         path = self._new_data_dir()
         df.write.mode("overwrite").parquet(path)
