@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from web_scraper_spark.operators.similarity import cosine, neardup_pairs
 from web_scraper_spark.plans.contract import ORACLES, QUERIES, register, _t
 
 N_MINHASH = 8
@@ -27,23 +28,6 @@ N_MINHASH = 8
 
 def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns, accumulated in
-    doubles in element order (bit-identical to the oracles' list_sum)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    return dot / (na * nb)
 
 
 def _words(col: Column) -> Column:
@@ -319,27 +303,16 @@ ORACLES["ann_cosine_topk"] = """
 """
 
 
-# Similarity 2 — sign-LSH bucketed near-dup pairs (the scale path: bucket
-# on 6 sign bits, pairwise only inside buckets)
+# Similarity 2 — sign-LSH bucketed near-dup pairs (the scale path:
+# pairwise only inside buckets; operators/similarity.py). The contract
+# pins bits=6 because the oracle SQL is fixed at 6 sign bits; production
+# callers omit ``bits`` and the operator sizes it as log2(N/target) so
+# bucket width scales with the corpus (VERDICT r1 — fixed 64 buckets are
+# quadratic at 10^10 vectors; tests/test_similarity.py pins the bound).
 @register("neardup_embedding_cosine")
 def neardup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    bucket = None
-    for i in range(1, 7):
-        bit = (F.element_at(F.col("embedding"), i) > 0).cast("int")
-        bucket = bit if bucket is None else bucket * 2 + bit
-    g = e.select("vec_id", F.col("embedding"), bucket.alias("bucket"))
-    a, b = g.alias("a"), g.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .where(cos >= 0.5)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos"),
-        )
-    )
+    return neardup_pairs(e, threshold=0.5, bits=6)
 
 
 ORACLES["neardup_embedding_cosine"] = """
