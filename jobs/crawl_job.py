@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--proxy", default=None,
                    help="optional http forward proxy for --live (absolute-URI proxying)")
     p.add_argument("--fetch-timeout", type=float, default=15.0)
+    p.add_argument("--metrics-log", default=None,
+                   help="optional rotating JSON-lines file for per-round metrics (reference A10 log-file sink analog)")
     args = p.parse_args(argv)
 
     from web_scraper_spark.session import get_spark
@@ -90,6 +92,13 @@ def main(argv: list[str] | None = None) -> int:
         live_proxy=args.proxy,
         live_timeout_s=args.fetch_timeout,
     )
+    if args.metrics_log:
+        from web_scraper_spark.sources.logsink import RotatingJsonLogSink
+
+        sink = RotatingJsonLogSink(args.metrics_log)
+        sink.write(result.metrics, order_by=["round", "depth", "partition_id"])
+        sink.close()
+
     summary = {
         "rounds": result.rounds,
         "fetch_attempts": result.crawl_log.count(),

@@ -139,6 +139,47 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# Dedup 2b — near-dup CLUSTERS: connected components over the minhash
+# candidate-pair graph (operators/components.py — min-label propagation
+# with pointer jumping, O(log chain) iterations, labels-only shuffles).
+# The iterative driver loop converges to a fixpoint, so the one-shot
+# recursive-CTE oracle (min reachable doc_id) checks it exactly.
+@register("dedup_cluster_labels")
+def dedup_cluster_labels(spark, sf_dir):
+    from web_scraper_spark.operators.components import connected_components
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(d, pairs)
+    return labels.select(F.col("id").alias("doc_id"), "component")
+
+
+ORACLES["dedup_cluster_labels"] = f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_transform({_SQL_SHINGLES},
+                            s -> {_SQL_H60.format("s")} % {_MERSENNE}) AS hs
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
+    ),
+    mh AS (SELECT doc_id, {_SQL_MINHASHES} FROM sh),
+    bands AS ({_SQL_MH_UNION}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b ON a.band = b.band AND a.minhash = b.minhash
+                                AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
+"""
+
+
 # Dedup 3 — SimHash (16-bit) document fingerprint
 @register(
     "dedup_simhash",
@@ -460,6 +501,103 @@ def embed_norm_stats(spark, sf_dir):
     return e.groupBy("label").agg(
         F.count("*").alias("n"), F.round(F.avg(norm), 3).alias("avg_norm")
     )
+
+
+# Text 5 — deterministic normalization pass (lowercase, strip ASCII
+# control chars, collapse whitespace) — the canonicalization step ahead
+# of exact dedup; emitted as a hash so rows stay narrow
+@register(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           md5(norm) AS norm_hash,
+           length(norm) AS n_chars_norm
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+          FROM documents)
+    """,
+)
+def text_normalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f]", " "),
+            r"\s+", " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+# Sampling — deterministic hash-based stratified sample: per-source keep
+# rates via a portable 60-bit hash of the doc id (no rand(); re-runs and
+# both engines agree row-for-row). At 10^10 rows this is a stateless
+# filter — no shuffle at all until the per-stratum report.
+_SAMPLE_RATES = {"src0": 10, "src1": 25, "src2": 50}  # percent; others 75
+_SQL_RATE = (
+    "CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 25 "
+    "WHEN 'src2' THEN 50 ELSE 75 END"
+)
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT source, count(*) AS n_total,
+           count(*) FILTER (keep) AS n_sampled,
+           round(100.0 * count(*) FILTER (keep) / count(*), 2)::DOUBLE AS observed_pct
+    FROM (SELECT source,
+                 {_SQL_H60.format("CAST(doc_id AS VARCHAR)")} % 100 < {_SQL_RATE} AS keep
+          FROM documents)
+    GROUP BY source
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rate = F.lit(75)
+    for src, pct in _SAMPLE_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    keep = (hash60(F.col("doc_id").cast("string")) % 100) < rate
+    return (
+        d.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("keep")).alias("n_sampled"),
+            F.round(
+                F.lit(100.0) * F.count_if(F.col("keep")) / F.count("*"), 2
+            ).alias("observed_pct"),
+        )
+    )
+
+
+# Token stats — global top-20 tokens: the distributed top-k shape again
+# (partial counts -> one shuffle -> TakeOrderedAndProject), deterministic
+# tiebreak on the token itself
+@register(
+    "tokens_topk",
+    """
+    SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+    FROM (SELECT token, count(*) AS n
+          FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+          GROUP BY token
+          ORDER BY n DESC, token ASC LIMIT 20)
+    """,
+)
+def tokens_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))  # over 20 rows only
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
