@@ -87,3 +87,43 @@ def test_politeness_tiebreak_is_raw_url_on_both_sides(spark):
             for r in assign_rounds(frontier, 1, method).collect()
         }
         assert got == expected, method
+
+
+def test_window_equals_range_property(spark):
+    """Property: the skew-safe range scheduler equals the window baseline
+    on randomized frontiers (hot hosts, duplicate priorities, many
+    budgets) — guards the r2 default flip."""
+    import random
+
+    from web_scraper_spark.operators.politeness import assign_rounds
+
+    rng = random.Random(1234)
+    rows = []
+    for i in range(400):
+        host = f"h{rng.choice([0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7])}.test"  # hot h0
+        rows.append(
+            (
+                f"http://{host}/p/{rng.randrange(10_000)}",
+                host,
+                rng.randrange(2),
+                rng.randrange(50),
+                f"http://{host}",
+                None,
+                float(rng.randrange(4)),  # duplicate priorities on purpose
+            )
+        )
+    frontier = spark.createDataFrame(
+        rows,
+        "url string, host string, depth int, seed_idx long, seed_url string, "
+        "caption string, priority double",
+    ).repartition(7)
+    for budget in (1, 3, 17):
+        w = {
+            (r["url"], r["seed_idx"]): r["round_offset"]
+            for r in assign_rounds(frontier, budget, "window").collect()
+        }
+        g = {
+            (r["url"], r["seed_idx"]): r["round_offset"]
+            for r in assign_rounds(frontier, budget, "range").collect()
+        }
+        assert w == g, budget

@@ -107,3 +107,42 @@ def test_stateful_sessionize_matches_batch(spark, events_dir, tmp_path):
     }
     assert got == exp
     q.stop()
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
+    """The streaming URL-seen twin: novel urls across micro-batches ==
+    batch dropDuplicates over the whole stream (first occurrence wins),
+    with the same pmod(xxhash64) partitioning as the batch seen set."""
+    from web_scraper_spark.streaming.dedup import dedup_stream
+
+    # derive a url column with heavy cross-batch duplication
+    def urls_of(df):
+        return df.select(
+            F.concat(
+                F.lit("http://u"), F.col("user_id").cast("string"),
+                F.lit(".test/e/"), F.pmod(F.col("event_id"), F.lit(7)).cast("string"),
+            ).alias("url")
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = (
+        dedup_stream(urls_of(stream))
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.url for r in spark.sql("SELECT url FROM dedup_out").collect()}
+    exp = {r.url for r in urls_of(spark.read.parquet(events_dir)).distinct().collect()}
+    assert got == exp
+    # and no url was emitted twice (dedup actually deduped)
+    n_emitted = spark.sql("SELECT count(*) c FROM dedup_out").collect()[0].c
+    assert n_emitted == len(exp)
