@@ -168,16 +168,17 @@ def simulate(
 ) -> OracleResult:
     web_by_canon = {canonicalize(r.url): r for r in web}
 
-    # robots rules per host (graft; mirror of sources/robots.py semantics).
+    # robots rules per host (graft; mirror of sources/robots.py semantics:
+    # Disallow/Allow longest-match wins, ties to Allow — RFC 9309 §2.2.2).
     # Robots fetches are bookkeeping — not part of the crawl order.
-    robots_rules: dict[str, list[str]] = {}
+    robots_rules: dict[str, tuple[list[str], list[str]]] = {}
     if use_robots:
         from web_scraper_spark.sources.robots import parse_robots_body
 
         for row in web:
             if row.url.endswith("/robots.txt") and row.status == 200:
-                disallow, _delay = parse_robots_body(row.body.decode())
-                robots_rules[row.host] = disallow
+                disallow, allow, _delay = parse_robots_body(row.body.decode())
+                robots_rules[row.host] = (disallow, allow)
 
     def robots_allows(url: str) -> bool:
         if not use_robots:
@@ -186,9 +187,10 @@ def simulate(
 
         p = urlparse(url)
         path = p.path or "/"
-        return not any(
-            path.startswith(prefix) for prefix in robots_rules.get(p.netloc.lower(), [])
-        )
+        disallow, allow = robots_rules.get(p.netloc.lower(), ([], []))
+        dis = max((len(r) for r in disallow if path.startswith(r)), default=-1)
+        alw = max((len(r) for r in allow if path.startswith(r)), default=-1)
+        return not dis > alw
 
     # --- seed stage (run_url_producer.py:24-54): prepare, global dedup ---
     seen_prepared: set[str] = set()

@@ -262,6 +262,7 @@ def run_crawl(
             missing = fetched.where(F.col("status") != 200).select(
                 "host",
                 F.array().cast("array<string>").alias("disallow"),
+                F.array().cast("array<string>").alias("allow"),
                 F.lit(None).cast("double").alias("crawl_delay"),
             )
             robots_t.append(got.unionByName(missing))

@@ -1,18 +1,20 @@
 """robots.txt rule table + frontier filtering (graft; SURVEY.md §4 custom #5).
 
 The reference fetches blindly (no robots handling — scope note). The graft
-caches per-host rules in a table ``robots_rules(host, disallow, crawl_delay)``
-(one row per disallow prefix; empty-prefix row when nothing is disallowed)
-and applies them with a join — rules are a small dimension (#hosts rows),
-always broadcast.
+caches per-host rules in a table ``robots_rules(host, disallow, allow,
+crawl_delay)`` and applies them with a join — rules are a small dimension
+(#hosts rows), always broadcast.
 
 Parsing happens once per host in an Arrow-batched pandas UDF over the
 fetched robots.txt bodies; matching is a pure Catalyst prefix test, so the
 10^10-row frontier never touches Python.
 
-Subset honored (per RFC 9309, User-agent: * group only): ``Disallow``
-prefixes and ``Crawl-delay``. Allow-overrides are out of scope for the
-fixture and noted as such.
+Subset honored (per RFC 9309, ``User-agent: *`` group only): ``Disallow``
+and ``Allow`` prefixes with longest-match-wins (an Allow at least as
+specific as the best Disallow un-blocks the path — ties go to Allow, the
+least restrictive rule), plus ``Crawl-delay``. ``%``-escapes and ``*``/
+``$`` wildcards in rule paths are out of scope for the fixture and noted
+as such.
 """
 
 from __future__ import annotations
@@ -28,14 +30,17 @@ from pyspark.sql.functions import pandas_udf
 _RULES_SCHEMA = StructType(
     [
         StructField("disallow", ArrayType(StringType())),
+        StructField("allow", ArrayType(StringType())),
         StructField("crawl_delay", DoubleType()),
     ]
 )
 
 
-def parse_robots_body(body: str) -> tuple[list[str], float | None]:
-    """Parse the ``User-agent: *`` group: disallow prefixes + crawl-delay."""
+def parse_robots_body(body: str) -> tuple[list[str], list[str], float | None]:
+    """Parse the ``User-agent: *`` group: (disallow prefixes, allow
+    prefixes, crawl-delay)."""
     disallow: list[str] = []
+    allow: list[str] = []
     delay: float | None = None
     current_agents: list[str] = []
     in_group_header = False
@@ -58,39 +63,56 @@ def parse_robots_body(body: str) -> tuple[list[str], float | None]:
         if key == "disallow":
             if value:
                 disallow.append(value)
+        elif key == "allow":
+            if value:
+                allow.append(value)
         elif key == "crawl-delay":
             try:
                 delay = float(value)
             except ValueError:
                 pass
-    return disallow, delay
+    return disallow, allow, delay
 
 
 @pandas_udf(_RULES_SCHEMA)
 def parse_robots(body: pd.Series) -> pd.DataFrame:
     rows = [parse_robots_body(b if isinstance(b, str) else "") for b in body]
-    return pd.DataFrame(rows, columns=["disallow", "crawl_delay"])
+    return pd.DataFrame(rows, columns=["disallow", "allow", "crawl_delay"])
 
 
 def build_rules_table(robots_pages: DataFrame) -> DataFrame:
-    """``(host, body)`` -> ``(host, disallow, crawl_delay)`` one row/host."""
+    """``(host, body)`` -> ``(host, disallow, allow, crawl_delay)`` one
+    row per host."""
     return robots_pages.select(
         "host", parse_robots(F.col("body").cast("string")).alias("r")
-    ).select("host", "r.disallow", "r.crawl_delay")
+    ).select("host", "r.disallow", "r.allow", "r.crawl_delay")
+
+
+def _longest_match(rules_col: str, path):
+    """Length of the longest rule prefix matching ``path``; -1 if none
+    (pure Catalyst: filter + transform + array_max)."""
+    matched = F.filter(F.col(rules_col), lambda p: path.startswith(p))
+    return F.coalesce(
+        F.array_max(F.transform(matched, lambda p: F.length(p))), F.lit(-1)
+    )
 
 
 def filter_allowed(frontier: DataFrame, rules: DataFrame) -> DataFrame:
-    """Drop frontier rows whose URL path matches a disallow prefix for its
-    host. Rules are broadcast; the prefix test is pure Catalyst
-    (``exists(disallow, p -> startswith(path, p))``)."""
-    path = F.regexp_extract(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    """Drop frontier rows blocked by their host's rules: longest-match
+    wins between Disallow and Allow, ties to Allow (RFC 9309 §2.2.2).
+    Rules are broadcast; the match is pure Catalyst."""
+    raw_path = F.regexp_extract(
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     joined = frontier.join(F.broadcast(rules), "host", "left")
-    blocked = F.when(
-        F.col("disallow").isNull(), F.lit(False)
-    ).otherwise(
-        F.exists(
-            F.col("disallow"),
-            lambda p: F.when(path == "", F.lit("/")).otherwise(path).startswith(p),
+    blocked = F.when(F.col("disallow").isNull(), F.lit(False)).otherwise(
+        _longest_match("disallow", path)
+        > F.coalesce(
+            F.when(
+                F.col("allow").isNotNull(), _longest_match("allow", path)
+            ),
+            F.lit(-1),
         )
     )
-    return joined.where(~blocked).drop("disallow", "crawl_delay")
+    return joined.where(~blocked).drop("disallow", "allow", "crawl_delay")

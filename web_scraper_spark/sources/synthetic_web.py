@@ -156,13 +156,16 @@ def build_web(n_domains: int = 40, seed: int = SEED):
             seeds.append(host + "/")
 
         # ~1/4 of hosts publish robots.txt: every 4th disallows /contact
-        # (blocking its contact-page fan-out) and sets a crawl delay
+        # (blocking its contact-page fan-out) and sets a crawl delay;
+        # every 8th ALSO allows /contact-1 back (the RFC 9309
+        # longest-match override — /contact-1 survives, /contact-2 dies)
         if i % 4 == 3:
             robots_body = (
                 "# synthetic robots\n"
                 "User-agent: *\n"
                 "Disallow: /contact\n"
-                "Crawl-delay: 0.5\n"
+                + ("Allow: /contact-1\n" if i % 8 == 3 else "")
+                + "Crawl-delay: 0.5\n"
             )
             web.append(
                 WebRow(
