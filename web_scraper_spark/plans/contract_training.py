@@ -179,6 +179,45 @@ ORACLES["dedup_cluster_labels"] = f"""
     SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id
 """
 
+# keep-best oracle: the cluster oracle's recursive CTEs, its final
+# SELECT folded into one more CTE, then per-component argmax by
+# (n_chars desc, doc_id asc) + member counts
+_CLUSTER_FINAL = "SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id"
+assert _CLUSTER_FINAL in ORACLES["dedup_cluster_labels"]
+ORACLES["dedup_keep_best"] = ORACLES["dedup_cluster_labels"].replace(
+    _CLUSTER_FINAL,
+    f""", comp AS ({_CLUSTER_FINAL})
+    SELECT component, keeper, n_members FROM (
+      SELECT c.component, c.doc_id AS keeper,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN documents d USING (doc_id))
+    WHERE rn = 1""",
+)
+
+
+# Dedup 2c — keep-one policy over the clusters: per component keep the
+# LONGEST document (ties to smaller doc_id) — the full dedup pipeline
+# composed end-to-end (pairs -> components -> keeper), all under one
+# oracle. Per-component argmax is a window over the (tiny) labels table,
+# partitioned by component — never the corpus.
+@register("dedup_keep_best")
+def dedup_keep_best(spark, sf_dir):
+    labels = dedup_cluster_labels(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(d, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("keeper"))
+    )
+    sizes = labels.groupBy("component").agg(F.count("*").alias("n_members"))
+    return best.join(sizes, "component")
+
 
 # Dedup 3 — SimHash (16-bit) document fingerprint
 @register(
@@ -598,6 +637,39 @@ def tokens_topk(spark, sf_dir):
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("token"))  # over 20 rows only
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# Image near-dup — perceptual-hash Hamming pairs via band bucketing
+# (operators/imagedup.py; the landed images table carries real phashes —
+# here the contract derives a deterministic phash fixture from the
+# documents table: same-source docs differ in <=5 low bits, cross-source
+# hashes are ~random, so max_hamming=3 keeps most same-source pairs and
+# nothing else). The oracle is brute-force all-pairs (the SPEC); the
+# engine must reproduce it with the banded plan (the SCALE shape).
+@register(
+    "image_phash_neardup",
+    f"""
+    WITH ph AS (
+      SELECT doc_id, xor({_SQL_H60.format("source")}, doc_id % 32) AS phash
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
+def image_phash_neardup(spark, sf_dir):
+    from web_scraper_spark.operators.imagedup import phash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    ph = hash60(F.col("source")).bitwiseXOR(F.col("doc_id") % 32)
+    imgs = d.select(F.col("doc_id").alias("image_id"), ph.alias("phash"))
+    return phash_neardup_pairs(imgs, max_hamming=3).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
 
 
 # ---------------------------------------------------------------------------
