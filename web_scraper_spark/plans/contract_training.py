@@ -441,6 +441,83 @@ def text_langid_heuristic(spark, sf_dir):
     )
 
 
+# Text 1b — language-ID by character-trigram PROFILES (the real n-gram
+# method, vs the marker-word heuristic above): per-language profiles =
+# top-30 trigrams by frequency (in production a broadcast dimension
+# trained offline; here trained from the corpus itself in the same
+# query), classify each doc by largest distinct-trigram overlap with any
+# profile (ties to lang asc). Pure Catalyst end to end: explode ->
+# count -> windowed top-30 -> semi-structured join -> argmax window over
+# (doc, lang) overlap counts — #docs x #langs rows, never all-trigrams.
+# (Classifier ACCURACY on the synthetic word-soup fixture is low by
+# construction — the langs share vocabulary; the contract pins the
+# operator's mechanics, which is what transfers to real corpora.)
+@register(
+    "text_langid_ngram",
+    """
+    WITH tri AS (
+      SELECT doc_id, lang, unnest(list_distinct(
+               [substr(t, i, 3) for i in range(1, greatest(len(t) - 1, 2))])) AS g
+      FROM (SELECT doc_id, lang, lower(substr(text, 1, 200)) AS t FROM documents)
+    ),
+    profile AS (
+      SELECT lang AS plang, g FROM (
+        SELECT lang, g, row_number() OVER (PARTITION BY lang
+                                           ORDER BY count(*) DESC, g ASC) AS rn
+        FROM tri GROUP BY lang, g)
+      WHERE rn <= 30
+    ),
+    overlap AS (
+      SELECT t.doc_id, p.plang, count(*) AS hits
+      FROM (SELECT DISTINCT doc_id, g FROM tri) t
+      JOIN profile p ON t.g = p.g
+      GROUP BY t.doc_id, p.plang
+    )
+    SELECT o.doc_id, d.lang, o.plang AS predicted,
+           CASE WHEN o.plang = d.lang THEN 1 ELSE 0 END AS correct
+    FROM (SELECT doc_id, plang,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY hits DESC, plang ASC) AS rn
+          FROM overlap) o
+    JOIN documents d USING (doc_id)
+    WHERE o.rn = 1
+    """,
+)
+def text_langid_ngram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, greatest(length(lower(substring(text,1,200))) - 2, 1)),"
+            " i -> substring(lower(substring(text,1,200)), i, 3))"
+        )
+    )
+    tri = d.select("doc_id", "lang", F.explode(grams).alias("g"))
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+    profile = (
+        tri.groupBy("lang", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .where(F.col("rn") <= 30)
+        .select(F.col("lang").alias("plang"), "g")
+    )
+    overlap = (
+        tri.select("doc_id", "g").dropDuplicates(["doc_id", "g"])
+        .join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("plang"))
+    best = (
+        overlap.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"))
+    )
+    return best.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "predicted",
+        F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0).alias("correct"),
+    )
+
+
 # Text 2 — quality scoring (length / punct / stopword ratios)
 @register(
     "text_quality_score",
@@ -637,6 +714,63 @@ def tokens_topk(spark, sf_dir):
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("token"))  # over 20 rows only
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# The training-corpus FUNNEL: the stages a 100 TB corpus actually runs —
+# exact dedup -> quality gate -> langid gate -> stratified sample — as
+# one query reporting rows surviving each stage. Every stage is a
+# stateless filter or one hash-groupBy; the funnel counts come from a
+# single pass (conditional aggregation over stage flags, not 4 scans).
+@register(
+    "corpus_funnel",
+    f"""
+    WITH staged AS (
+      SELECT doc_id,
+             (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS keep_dedup,
+             (len(words) >= 20 AND
+              len(list_filter(words, w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+                / greatest(len(words), 1) BETWEEN 0.01 AND 0.5) AS pass_quality,
+             (len(list_filter(words, w -> w IN ('the','a','of','and','to'))) >= 2) AS pass_lang,
+             ({_SQL_H60.format("CAST(doc_id AS VARCHAR)")} % 100 < 40) AS pass_sample
+      FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS words FROM documents)
+    )
+    SELECT count(*) AS n_input,
+           count(*) FILTER (keep_dedup) AS n_dedup,
+           count(*) FILTER (keep_dedup AND pass_quality) AS n_quality,
+           count(*) FILTER (keep_dedup AND pass_quality AND pass_lang) AS n_lang,
+           count(*) FILTER (keep_dedup AND pass_quality AND pass_lang AND pass_sample) AS n_sampled
+    FROM staged
+    """,
+)
+def corpus_funnel(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    swr = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to", "in"))
+    ).cast("double") / F.greatest(n, F.lit(1))
+    en_hits = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    staged = d.select(
+        "doc_id",
+        (F.row_number().over(w_dedup) == 1).alias("keep_dedup"),
+        ((n >= 20) & swr.between(0.01, 0.5)).alias("pass_quality"),
+        (en_hits >= 2).alias("pass_lang"),
+        ((hash60(F.col("doc_id").cast("string")) % 100) < 40).alias("pass_sample"),
+    )
+    k = F.col("keep_dedup")
+    q = k & F.col("pass_quality")
+    lg = q & F.col("pass_lang")
+    sm = lg & F.col("pass_sample")
+    return staged.agg(
+        F.count("*").alias("n_input"),
+        F.count_if(k).alias("n_dedup"),
+        F.count_if(q).alias("n_quality"),
+        F.count_if(lg).alias("n_lang"),
+        F.count_if(sm).alias("n_sampled"),
+    )
 
 
 # Image near-dup — perceptual-hash Hamming pairs via band bucketing
