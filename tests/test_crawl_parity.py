@@ -136,22 +136,22 @@ def test_resume_identical_final_state(spark, fixture_web, tmp_path):
     workdir = str(tmp_path / "interrupted")
     import web_scraper_spark.sources.tables as tables_mod
 
-    original = tables_mod.SnapshotTable.overwrite
+    original = tables_mod.SnapshotTable.commit_dirs
     calls = {"n": 0}
 
-    def bomb(self, df, tag=None):
-        original(self, df, tag)
-        if tag is not None and tag.startswith("round-") and not tag.endswith("--1"):
+    def bomb(self, dirs, tag=None, extra=None):
+        original(self, dirs, tag, extra)
+        if tag is not None and tag.startswith("round-"):
             calls["n"] += 1
             if calls["n"] == 1:
                 raise KeyboardInterrupt("simulated driver death")
 
-    tables_mod.SnapshotTable.overwrite = bomb
+    tables_mod.SnapshotTable.commit_dirs = bomb
     try:
         with pytest.raises(KeyboardInterrupt):
             run_crawl(spark, seeds, webdf, names, workdir=workdir)
     finally:
-        tables_mod.SnapshotTable.overwrite = original
+        tables_mod.SnapshotTable.commit_dirs = original
 
     resumed = run_crawl(
         spark, seeds, webdf, names, workdir=workdir, resume=True
@@ -189,11 +189,11 @@ def test_resume_dedup_mode_no_lost_discoveries(spark, fixture_web, tmp_path):
     workdir = str(tmp_path / "intr_d")
     import web_scraper_spark.sources.tables as tables_mod
 
-    original = tables_mod.SnapshotTable.overwrite
+    original = tables_mod.SnapshotTable.commit_dirs
     calls = {"n": 0}
 
-    def bomb(self, df, tag=None):
-        original(self, df, tag)
+    def bomb(self, dirs, tag=None, extra=None):
+        original(self, dirs, tag, extra)
         # die right after the first round's frontier commit — before the
         # post-commit seen.add runs
         if tag == "round-0":
@@ -201,13 +201,13 @@ def test_resume_dedup_mode_no_lost_discoveries(spark, fixture_web, tmp_path):
             if calls["n"] == 1:
                 raise KeyboardInterrupt("simulated driver death")
 
-    tables_mod.SnapshotTable.overwrite = bomb
+    tables_mod.SnapshotTable.commit_dirs = bomb
     try:
         with pytest.raises(KeyboardInterrupt):
             run_crawl(spark, seeds, webdf, names, workdir=workdir,
                       dedup_contacts=True)
     finally:
-        tables_mod.SnapshotTable.overwrite = original
+        tables_mod.SnapshotTable.commit_dirs = original
 
     resumed = run_crawl(spark, seeds, webdf, names, workdir=workdir,
                         resume=True, dedup_contacts=True)
@@ -238,23 +238,23 @@ def test_resume_approx_seen_no_lost_discoveries(spark, fixture_web, tmp_path, se
     workdir = str(tmp_path / "intr_a")
     import web_scraper_spark.sources.tables as tables_mod
 
-    original = tables_mod.SnapshotTable.overwrite
+    original = tables_mod.SnapshotTable.commit_dirs
     calls = {"n": 0}
 
-    def bomb(self, df, tag=None):
-        original(self, df, tag)
+    def bomb(self, dirs, tag=None, extra=None):
+        original(self, dirs, tag, extra)
         if tag == "round-0":
             calls["n"] += 1
             if calls["n"] == 1:
                 raise KeyboardInterrupt("simulated driver death")
 
-    tables_mod.SnapshotTable.overwrite = bomb
+    tables_mod.SnapshotTable.commit_dirs = bomb
     try:
         with pytest.raises(KeyboardInterrupt):
             run_crawl(spark, seeds, webdf, names, workdir=workdir,
                       dedup_contacts=True, seen_mode=seen_mode)
     finally:
-        tables_mod.SnapshotTable.overwrite = original
+        tables_mod.SnapshotTable.commit_dirs = original
 
     resumed = run_crawl(spark, seeds, webdf, names, workdir=workdir,
                         resume=True, dedup_contacts=True, seen_mode=seen_mode)

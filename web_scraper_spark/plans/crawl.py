@@ -280,25 +280,44 @@ def run_crawl(
 
         return filter_allowed(df, robots_rules)
 
-    # state = active (current-depth rows with round_offset >= 0) ∪ staged
-    # (next-depth rows, sentinel round_offset == -1, politeness-assigned
-    # only when the current depth drains — mirrors the oracle's per-depth
-    # rounds_for batching)
+    # Frontier state = active (the current depth, politeness-assigned,
+    # written ONCE partitioned by round_offset) ∪ staged (next-depth
+    # delta dirs, one per producing round, assigned only when the current
+    # depth drains — mirrors the oracle's per-depth rounds_for batching).
+    # Per-round consumption is a MANIFEST update (commit_dirs drops the
+    # consumed round's partition dir and lists the new staged delta):
+    # write amplification is O(frontier) per DEPTH, not per round — at
+    # 10^9-row frontiers with hundreds of politeness rounds the old
+    # rewrite-the-remainder checkpoint was the dominant write cost.
+    def _stage_depth(df: DataFrame) -> dict[int, str]:
+        """Assign politeness rounds and write the depth's frontier once;
+        returns {round_offset: partition_dir}. Robots filtering precedes
+        scheduling: blocked URLs consume no politeness slots and never
+        reach the crawl log (url_seen keeps them — they were
+        discovered)."""
+        assigned = assign_rounds(
+            _robots_filter(df), politeness_budget, politeness_method
+        )
+        path = frontier_t.write_data(assigned, partition_by=["round_offset"])
+        out: dict[int, str] = {}
+        for name in os.listdir(path):
+            if name.startswith("round_offset="):
+                out[int(name.split("=", 1)[1])] = os.path.join(path, name)
+        return out
+
     if resume and frontier_t.last_tag() is not None:
         tag = frontier_t.last_tag()
-        state = frontier_t.read_at_tag(tag).cache()
         round_no = int(tag.rsplit("-", 1)[1]) + 1
-        active = state.where(F.col("round_offset") >= 0)
-        staged = state.where(F.col("round_offset") == -1).drop("round_offset")
-        # the active frontier is always single-depth (per-depth batching),
-        # so the driver carries depth as a variable — this collect runs
-        # ONCE at resume, not once per round (VERDICT r1 plan-quality)
-        active_min = active.agg(F.min("depth")).collect()[0][0]
-        if active_min is not None:
-            depth_now = active_min
-        else:
-            staged_min = staged.agg(F.min("depth")).collect()[0][0]
-            depth_now = (staged_min - 1) if staged_min is not None else 0
+        extra = frontier_t.snapshot_extra(tag) or {}
+        active_dirs = {int(k): v for k, v in (extra.get("active") or {}).items()}
+        staged_dirs: list[str] = list(extra.get("staged") or [])
+        depth_now = int(extra.get("depth", 0))
+        state_paths = list(active_dirs.values()) + staged_dirs
+        state = (
+            spark.read.parquet(*state_paths).cache()
+            if state_paths
+            else spark.createDataFrame([], FRONTIER_SCHEMA).drop("round_offset")
+        )
         if dedup_contacts:
             # restore the seen ⊇ enqueued invariant: a crash between the
             # frontier commit and the (post-commit) seen insert may have
@@ -335,30 +354,22 @@ def run_crawl(
                 seen.add(seeds_df.select("url"))
         else:
             discovered_t.append(seeds_df.select("url"))
-        # robots filtering precedes scheduling: blocked URLs consume no
-        # politeness slots and never reach the crawl log (url_seen keeps
-        # them — they were discovered)
-        active = assign_rounds(
-            _robots_filter(seeds_df), politeness_budget, politeness_method
-        )
-        staged = spark.createDataFrame([], FRONTIER_SCHEMA).drop("round_offset")
+        active_dirs = _stage_depth(seeds_df)
+        staged_dirs = []
         round_no = 0
         depth_now = 0
 
     while True:
-        if active.isEmpty():
-            if staged.isEmpty():
+        if not active_dirs:
+            if not staged_dirs:
                 break
-            active = assign_rounds(
-                _robots_filter(staged), politeness_budget, politeness_method
-            )
-            staged = spark.createDataFrame([], FRONTIER_SCHEMA).drop("round_offset")
+            active_dirs = _stage_depth(spark.read.parquet(*staged_dirs))
+            staged_dirs = []
             depth_now += 1  # staged rows are always depth_now + 1
-        active = active.cache()
-        current = active.where(F.col("round_offset") == 0)
-        rest = active.where(F.col("round_offset") > 0).withColumn(
-            "round_offset", F.col("round_offset") - 1
-        )
+        # partition dirs only exist for nonempty rounds, so dict emptiness
+        # IS row emptiness — the old per-round isEmpty() jobs are gone
+        cur_offset = min(active_dirs)
+        current = spark.read.parquet(active_dirs[cur_offset])
 
         # ---- fetch + route --------------------------------------------
         if live:
@@ -493,13 +504,23 @@ def run_crawl(
             ),
             priority_expr,
         )
-        staged = staged.unionByName(next_depth)
+        if not next_depth.isEmpty():
+            # one delta dir per producing round — staged rows are written
+            # exactly once, never rewritten
+            staged_dirs.append(frontier_t.write_data(next_depth))
 
-        # ---- checkpoint: active' ∪ staged under one tag ----------------
-        checkpoint = rest.unionByName(
-            staged.withColumn("round_offset", F.lit(-1).cast("long"))
+        # ---- checkpoint: manifest-only commit (remaining round dirs +
+        # staged deltas + resume metadata) under one tag ------------------
+        remaining = {k: v for k, v in active_dirs.items() if k != cur_offset}
+        frontier_t.commit_dirs(
+            list(remaining.values()) + staged_dirs,
+            tag=f"round-{round_no}",
+            extra={
+                "active": {str(k): v for k, v in remaining.items()},
+                "staged": staged_dirs,
+                "depth": depth_now,
+            },
         )
-        frontier_t.overwrite(checkpoint, tag=f"round-{round_no}")
         if dedup_contacts:
             # seen-set insert AFTER the frontier commit: a crash between
             # the two re-fetches at most one round's discoveries on
@@ -520,16 +541,9 @@ def run_crawl(
                     seen.add(discovered.select("url"))
             discovered.unpersist()
         round_no += 1
-        prev_active = active
-        active = frontier_t.read_at_tag(f"round-{round_no - 1}").where(
-            F.col("round_offset") >= 0
-        )
-        staged = frontier_t.read_at_tag(f"round-{round_no - 1}").where(
-            F.col("round_offset") == -1
-        ).drop("round_offset")
+        active_dirs = remaining
         fetched.unpersist()
         extracted.unpersist()
-        prev_active.unpersist()
 
     # ---- post-loop housekeeping: compact the append-heavy tables so the
     # next epoch (or resume) reads one file set per table. The seen set

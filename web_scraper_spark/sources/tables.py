@@ -49,12 +49,19 @@ class SnapshotTable:
         except FileNotFoundError:
             return {"snapshots": [], "current": None}
 
-    def _commit(self, dirs: list[str], tag: str | None, parent: dict) -> None:
+    def _commit(
+        self,
+        dirs: list[str],
+        tag: str | None,
+        parent: dict,
+        extra: dict | None = None,
+    ) -> None:
         manifest = parent
         snap_id = (manifest["current"] or 0) + 1
-        manifest["snapshots"].append(
-            {"id": snap_id, "dirs": dirs, "tag": tag, "ts": time.time()}
-        )
+        snap = {"id": snap_id, "dirs": dirs, "tag": tag, "ts": time.time()}
+        if extra:
+            snap["extra"] = extra
+        manifest["snapshots"].append(snap)
         manifest["current"] = snap_id
         tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -94,6 +101,38 @@ class SnapshotTable:
         path = self._new_data_dir()
         df.write.mode("overwrite").parquet(path)
         self._commit([path], tag, manifest)
+
+    # -- low-level pieces for callers managing their own data layout ------
+    # (the crawl's frontier writes each depth ONCE partitioned by
+    # politeness round, then per-round commits are manifest-only — write
+    # amplification O(frontier/depth) instead of O(frontier x rounds))
+    def write_data(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> str:
+        """Write a data directory WITHOUT committing; returns its path.
+        Uncommitted dirs are invisible orphans until commit_dirs lists
+        them — a crash in between leaves the table untouched."""
+        path = self._new_data_dir()
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return path
+
+    def commit_dirs(
+        self, dirs: list[str], tag: str | None = None, extra: dict | None = None
+    ) -> None:
+        """Commit an explicit directory list (+ optional JSON metadata,
+        readable back via snapshot_extra) as the new current snapshot —
+        one manifest rename, no data movement."""
+        self._commit(list(dirs), tag, self._read_manifest(), extra)
+
+    def snapshot_extra(self, tag: str) -> dict | None:
+        manifest = self._read_manifest()
+        for snap in reversed(manifest["snapshots"]):
+            if snap["tag"] == tag:
+                return snap.get("extra") or {}
+        return None
 
     RESET_TAG = "__reset__"
 
