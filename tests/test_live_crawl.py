@@ -126,3 +126,74 @@ def test_live_crawl_with_robots_matches_oracle(spark, fixture, proxy, tmp_path):
     rules = SnapshotTable(spark, os.path.join(str(tmp_path), "robots_rules")).read()
     hosts_with_rules = {r["host"] for r in rules.collect() if r["disallow"]}
     assert hosts_with_rules == {f"acme-{i:04d}.test" for i in range(N) if i % 4 == 3}
+
+
+def test_live_robots_unreachable_is_transient_disallow_all(spark, tmp_path):
+    """RFC 9309 2.3.1 (review r2): a timed-out robots.txt means assume
+    complete disallow, cached as TRANSIENT (retried on the next pre-pass)
+    — not an empty-rules row cached forever. A later crawl whose robots
+    fetch succeeds must crawl the host normally."""
+    import http.server
+    import os
+    import threading
+
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.synthetic_web import WebRow
+    from web_scraper_spark.sources.tables import SnapshotTable
+
+    body = b"<html><body><a href='tel:+1 (212) 555-0000'>c</a></body></html>"
+    web = [
+        WebRow("http://flaky.test", "flaky.test", 0, 200, "text/html", body),
+        WebRow("http://steady.test", "steady.test", 0, 200, "text/html", body),
+    ]
+    by_canon = {canonicalize(r.url): r for r in web}
+    drop_next = {"flaky": True}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            if self.path == "http://flaky.test/robots.txt" and drop_next["flaky"]:
+                drop_next["flaky"] = False  # fail exactly once
+                self.close_connection = True
+                self.connection.close()
+                return
+            if self.path.endswith("/robots.txt"):
+                self.send_error(404)
+                return
+            row = by_canon.get(canonicalize(self.path))
+            if row is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", row.content_type)
+            self.send_header("Content-Length", str(len(row.body)))
+            self.end_headers()
+            self.wfile.write(row.body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    proxy_url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        seeds = ["flaky.test", "steady.test"]
+        wd = str(tmp_path / "one")
+        r1 = run_crawl(spark, seeds, None, None, workdir=wd, live=True,
+                       live_proxy=proxy_url, live_timeout_s=5.0, use_robots=True)
+        fetched1 = {r.url for r in r1.crawl_log.collect()}
+        assert fetched1 == {"http://steady.test"}  # flaky assumed disallow-all
+        rules = SnapshotTable(spark, os.path.join(wd, "robots_rules")).read()
+        flaky_row = [r for r in rules.collect() if r["host"] == "flaky.test"]
+        assert flaky_row and flaky_row[0]["transient"] is True
+        assert list(flaky_row[0]["disallow"]) == ["/"]
+
+        # a fresh crawl (robots cache reset) retries and succeeds
+        r2 = run_crawl(spark, seeds, None, None, workdir=str(tmp_path / "two"),
+                       live=True, live_proxy=proxy_url, live_timeout_s=5.0,
+                       use_robots=True)
+        fetched2 = {r.url for r in r2.crawl_log.collect()}
+        assert fetched2 == {"http://flaky.test", "http://steady.test"}
+    finally:
+        srv.shutdown()

@@ -99,3 +99,78 @@ def test_crawl_with_robots_matches_oracle(spark, tmp_path):
     )
     assert got == oracle.crawl_order
     assert {r.url for r in result.url_seen.collect()} == oracle.url_seen
+
+
+def _webdf(spark, rows):
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("url", StringType()), StructField("host", StringType()),
+        StructField("depth", IntegerType()), StructField("status", IntegerType()),
+        StructField("content_type", StringType()), StructField("body", BinaryType()),
+    ])
+    return spark.createDataFrame(
+        [(r.url, r.host, r.depth, r.status, r.content_type, r.body) for r in rows],
+        schema,
+    )
+
+
+def test_robots_blocking_entire_staged_depth(spark, tmp_path):
+    """Review r2 regression: when robots rules block EVERY discovered
+    contact, the staged depth empties after assignment — the crawl must
+    finish cleanly (the manifest-only loop crashed on min() of an empty
+    dir map), matching the oracle."""
+    from web_scraper_spark.oracle.simulator import simulate
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.synthetic_web import WebRow
+
+    page = (b"<html><body><a href='tel:+1 (212) 555-0000'>c</a>"
+            b"<a href='/contact'>Contact us</a></body></html>")
+    web = [
+        WebRow("http://solo.test", "solo.test", 0, 200, "text/html", page),
+        WebRow("http://solo.test/contact", "solo.test", 1, 200, "text/html",
+               b"<html><body>hi</body></html>"),
+        WebRow("http://solo.test/robots.txt", "solo.test", 0, 200, "text/plain",
+               b"User-agent: *\nDisallow: /contact\n"),
+    ]
+    oracle = simulate(["solo.test"], web, None, use_robots=True)
+    assert [u for *_, u in oracle.crawl_order] == ["http://solo.test"]
+    result = run_crawl(
+        spark, ["solo.test"], _webdf(spark, web), None,
+        workdir=str(tmp_path), use_robots=True,
+    )
+    got = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                 for r in result.crawl_log.collect())
+    assert got == oracle.crawl_order
+    # the blocked contact is still discovered (url_seen keeps it)
+    assert "http://solo.test/contact" in {r.url for r in result.url_seen.collect()}
+
+
+def test_robots_matches_raw_url_not_canonical(spark, tmp_path):
+    """Review r2 regression: a 'Disallow: /app/' rule must block the RAW
+    frontier url 'http://h/app/' on BOTH sides — the oracle used to test
+    the canonicalized url (trailing slash stripped) and diverge."""
+    from web_scraper_spark.oracle.simulator import simulate
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.synthetic_web import WebRow
+
+    body = b"<html><body>x</body></html>"
+    web = [
+        WebRow("http://trail.test/app", "trail.test", 0, 200, "text/html", body),
+        WebRow("http://trail.test/apple", "trail.test", 0, 200, "text/html", body),
+        WebRow("http://trail.test/robots.txt", "trail.test", 0, 200, "text/plain",
+               b"User-agent: *\nDisallow: /app/\n"),
+    ]
+    seeds = ["trail.test/app/", "trail.test/apple"]
+    oracle = simulate(seeds, web, None, use_robots=True)
+    # blocked: the raw trailing-slash url matches '/app/'; control survives
+    assert [u for *_, u in oracle.crawl_order] == ["http://trail.test/apple"]
+    result = run_crawl(
+        spark, seeds, _webdf(spark, web), None,
+        workdir=str(tmp_path), use_robots=True,
+    )
+    got = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                 for r in result.crawl_log.collect())
+    assert got == oracle.crawl_order

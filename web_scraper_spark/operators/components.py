@@ -73,6 +73,10 @@ def connected_components(
                 ).alias("component"),
                 F.col("component").alias("_prev"),
             )
+            # checkpoint BEFORE the self-join below — proposed feeds both
+            # sides of the pointer jump, and without materialization the
+            # propagate join+groupBy would execute twice per iteration
+            .localCheckpoint(eager=True)
         )
         # pointer jumping: follow the label's own label
         lbl2 = proposed.select(

@@ -86,6 +86,18 @@ def neardup_pairs(
     recall, deduping pairs found by several tables."""
     if bits is None:
         bits = lsh_bits_for(embeddings.count(), target_bucket_size)
+    # every table reads a disjoint component window [t*bits, (t+1)*bits);
+    # validate against the actual vector width up front — silently
+    # null/erroring buckets would burn the extra tables' shuffles for
+    # zero recall (review r2). Wider needs -> project onto seeded random
+    # hyperplanes first (more planes than dims), same plan shape.
+    dim = embeddings.select(F.size(F.col(vec_col))).first()[0]
+    if n_tables * bits > dim:
+        raise ValueError(
+            f"n_tables={n_tables} x bits={bits} needs {n_tables * bits} "
+            f"components but embeddings have {dim}; lower bits/n_tables "
+            "or project onto more hyperplanes first"
+        )
 
     def one_table(t: int) -> DataFrame:
         g = embeddings.select(

@@ -270,8 +270,11 @@ def simulate(
     while batch:
         # robots filtering happens before scheduling: blocked URLs never
         # consume politeness slots nor appear in the crawl order (they do
-        # stay in url_seen — they were discovered)
-        batch = [e for e in batch if robots_allows(canonicalize(e[1]))]
+        # stay in url_seen — they were discovered). Match on the RAW
+        # frontier url exactly like the engine's filter_allowed — a
+        # canonicalized url drops the trailing slash and would diverge on
+        # rules like 'Disallow: /app/' (review r2)
+        batch = [e for e in batch if robots_allows(e[1])]
         if not batch:
             break
         next_frontier: list[tuple[int, str, str]] = []

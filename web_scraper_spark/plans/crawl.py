@@ -233,19 +233,27 @@ def run_crawl(
     def _ensure_robots(df: DataFrame) -> None:
         """Live robots pre-pass: fetch ``http://host/robots.txt`` once per
         NEWLY-seen host through the same live fetch machinery, append the
-        parsed rules to the cached table (hosts answering non-200 get an
-        empty-rules row so they are never re-fetched), refresh the
-        broadcastable rules view. The anti-join keeps the pre-pass
-        incremental: per depth it touches only hosts the table has never
-        seen, so a resumed crawl re-fetches nothing."""
+        parsed rules to the cached table, refresh the broadcastable rules
+        view. Outcome handling follows RFC 9309 §2.3.1: 200 -> parsed
+        rules; 4xx ("unavailable") -> no restrictions, cached permanently;
+        timeout/5xx ("unreachable") -> assume complete disallow, cached as
+        TRANSIENT so the next pre-pass retries the host (transient rows
+        are excluded from the anti-join). The latest row per host wins in
+        the rules view."""
         nonlocal robots_rules
+        import time as _time
+
         from web_scraper_spark.sources.fetch import fetch_live
         from web_scraper_spark.sources.robots import build_rules_table
 
         hosts = df.select("host").dropDuplicates(["host"])
         known = robots_t.read()
         if known is not None:
-            hosts = hosts.join(known.select("host"), "host", "left_anti")
+            hosts = hosts.join(
+                known.where(~F.col("transient")).select("host"),
+                "host",
+                "left_anti",
+            ).dropDuplicates(["host"])
         if not hosts.isEmpty():
             reqs = hosts.select(
                 "host",
@@ -256,18 +264,49 @@ def run_crawl(
             fetched = fetch_live(
                 reqs, {}, timeout_s=live_timeout_s, proxy=live_proxy
             ).cache()
+
+            def _row(cond, disallow, transient):
+                return fetched.where(cond).select(
+                    "host",
+                    disallow.alias("disallow"),
+                    F.array().cast("array<string>").alias("allow"),
+                    F.lit(None).cast("double").alias("crawl_delay"),
+                    F.lit(transient).alias("transient"),
+                )
+
             got = build_rules_table(
                 fetched.where(F.col("status") == 200).select("host", "body")
+            ).withColumn("transient", F.lit(False))
+            unavailable = _row(
+                F.col("status").between(400, 499),
+                F.array().cast("array<string>"),
+                False,
             )
-            missing = fetched.where(F.col("status") != 200).select(
-                "host",
-                F.array().cast("array<string>").alias("disallow"),
-                F.array().cast("array<string>").alias("allow"),
-                F.lit(None).cast("double").alias("crawl_delay"),
+            unreachable = _row(
+                (F.col("status") == 0) | (F.col("status") >= 500),
+                F.array(F.lit("/")),
+                True,
             )
-            robots_t.append(got.unionByName(missing))
+            robots_t.append(
+                got.unionByName(unavailable)
+                .unionByName(unreachable)
+                .withColumn("fetched_at", F.lit(_time.time()))
+            )
             fetched.unpersist()
-        robots_rules = robots_t.read()
+        cached = robots_t.read()
+        if cached is None:
+            robots_rules = None
+        else:
+            # latest fetch wins; on a (rare) same-instant tie prefer the
+            # definitive row over the transient disallow-all
+            latest = Window.partitionBy("host").orderBy(
+                F.desc("fetched_at"), F.asc("transient")
+            )
+            robots_rules = (
+                cached.withColumn("_rn", F.row_number().over(latest))
+                .where(F.col("_rn") == 1)
+                .select("host", "disallow", "allow", "crawl_delay")
+            )
 
     def _robots_filter(df: DataFrame) -> DataFrame:
         if not use_robots:
@@ -309,6 +348,14 @@ def run_crawl(
         tag = frontier_t.last_tag()
         round_no = int(tag.rsplit("-", 1)[1]) + 1
         extra = frontier_t.snapshot_extra(tag) or {}
+        if not extra and frontier_t.read_at_tag(tag) is not None:
+            # a tagged snapshot WITH data but WITHOUT the partitioned-
+            # frontier metadata is a pre-refactor checkpoint — failing
+            # loudly beats silently treating a mid-crawl state as done
+            raise ValueError(
+                f"checkpoint {tag!r} predates the partitioned frontier "
+                "format (no resume metadata); restart without resume=True"
+            )
         active_dirs = {int(k): v for k, v in (extra.get("active") or {}).items()}
         staged_dirs: list[str] = list(extra.get("staged") or [])
         depth_now = int(extra.get("depth", 0))
@@ -366,6 +413,9 @@ def run_crawl(
             active_dirs = _stage_depth(spark.read.parquet(*staged_dirs))
             staged_dirs = []
             depth_now += 1  # staged rows are always depth_now + 1
+            # robots filtering may have emptied the whole staged depth —
+            # re-check before taking min() of the dir map
+            continue
         # partition dirs only exist for nonempty rounds, so dict emptiness
         # IS row emptiness — the old per-round isEmpty() jobs are gone
         cur_offset = min(active_dirs)

@@ -39,11 +39,18 @@ class RotatingJsonLogSink:
         max_bytes: int = LOG_MAX_BYTES,
         backup_count: int = LOG_BACKUP_COUNT,
     ):
+        import uuid
+
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
         # a dedicated, non-propagating logger per sink instance — the
-        # reference isolates its file writer the same way
-        self._logger = logging.getLogger(f"RotatingJsonLogSink.{id(self)}")
+        # reference isolates its file writer the same way. Keyed by a
+        # uuid, NOT id(self): CPython reuses addresses, and a collision
+        # with an unclosed sink's registry entry would double-append its
+        # stale handler (review r2)
+        self._logger = logging.getLogger(
+            f"RotatingJsonLogSink.{uuid.uuid4().hex}"
+        )
         self._logger.setLevel(logging.INFO)
         self._logger.propagate = False
         self._handler = RotatingFileHandler(
