@@ -1098,6 +1098,114 @@ def q19_disjunctive(spark, sf_dir):
     )
 
 
+# As-of join — temporal enrichment (operators/asof.py union-merge form;
+# the oracle is DuckDB's NATIVE ASOF JOIN, a genuinely independent
+# implementation). Right side pre-deduped to one order per (cust, date)
+# — both engines apply the identical max-orderkey policy, the shared
+# precondition for unambiguous as-of semantics.
+@register(
+    "asof_join_orders",
+    """
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           o1.o_orderkey AS last_orderkey,
+           round(o1.o_totalprice, 2)::DOUBLE AS last_total
+    FROM events e ASOF LEFT JOIN o1
+      ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+    """,
+)
+def asof_join_orders(spark, sf_dir):
+    from web_scraper_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o1 = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    out = asof_join(
+        e, o1, key="user_id", left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_total"),
+    )
+
+
+# ROLLUP — hierarchical totals with subtotal + grand-total rows
+@register(
+    "q_rollup_revenue",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(CAST(y AS VARCHAR), 'ALL') AS yr,
+           round(sum(o_totalprice), 2)::DOUBLE AS total,
+           count(*) AS n
+    FROM (SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS y,
+                 o_totalprice FROM orders)
+    GROUP BY ROLLUP (o_orderpriority, y)
+    """,
+)
+def q_rollup_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("y"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("o_orderpriority", "y")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("yr"),
+            "total",
+            "n",
+        )
+    )
+
+
+# Window frames — per-customer trailing-3 moving SUM + running total.
+# (Sums, not averages: the inputs are 2-decimal-quantized, so sums never
+# sit on a round-2 half-cent boundary, while avg's /3 landed one row of
+# 30k exactly on .005 and flipped between engines — the CLAUDE.md
+# "no unrounded doubles from division" rule, learned again.)
+@register(
+    "q_window_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER w3, 2)::DOUBLE AS sum3,
+           round(sum(o_totalprice) OVER wall, 2)::DOUBLE AS running_total
+    FROM orders
+    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_frames(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = base.rowsBetween(-2, 0)
+    wall = base.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w3), 2).alias("sum3"),
+        F.round(F.sum("o_totalprice").over(wall), 2).alias("running_total"),
+    )
+
+
 # §J string-function catalog showcase (trim/lower/split/concat_ws/
 # substring/instr/startswith/lpad — the reference's string surface)
 @register(
