@@ -174,3 +174,73 @@ def test_robots_matches_raw_url_not_canonical(spark, tmp_path):
     got = sorted((r["round"], r.depth, r.seed_idx, r.url)
                  for r in result.crawl_log.collect())
     assert got == oracle.crawl_order
+
+
+def test_rule_to_regex_wildcards():
+    from web_scraper_spark.sources.robots import rule_matches, rule_to_regex
+
+    assert rule_to_regex("/a*.jpg$") == r"^/a.*\.jpg$"
+    assert rule_matches("/*.jpg$", "/img/x.jpg")
+    assert not rule_matches("/*.jpg$", "/img/x.jpg?v=1".split("?")[0] + "x")
+    assert not rule_matches("/*.jpg$", "/img/x.jpgx")  # $ anchors
+    assert rule_matches("/a*b", "/aXXXb/tail")  # unanchored tail ok
+    assert not rule_matches("/a*b", "/b/a")     # ^ anchors at path start
+    assert rule_matches("/p(1)", "/p(1)")       # meta chars stay literal
+
+
+def test_filter_allowed_wildcards(spark):
+    from web_scraper_spark.sources.robots import build_rules_table, filter_allowed
+
+    pages = spark.createDataFrame(
+        [("w.test", b"User-agent: *\nDisallow: /*.jpg$\nAllow: /keep*.jpg$\n")],
+        "host string, body binary",
+    )
+    rules = build_rules_table(pages)
+    frontier = spark.createDataFrame(
+        [
+            ("http://w.test/img/a.jpg", "w.test"),      # blocked by wildcard
+            ("http://w.test/img/a.jpgx", "w.test"),     # $ anchor -> allowed
+            ("http://w.test/keep-me.jpg", "w.test"),    # longer Allow wins
+            ("http://w.test/img/a.png", "w.test"),      # no rule -> allowed
+        ],
+        "url string, host string",
+    )
+    kept = {r.url for r in filter_allowed(frontier, rules).collect()}
+    assert kept == {
+        "http://w.test/img/a.jpgx",
+        "http://w.test/keep-me.jpg",
+        "http://w.test/img/a.png",
+    }
+
+
+def test_crawl_wildcard_robots_matches_oracle(spark, tmp_path):
+    """Wildcard rules end to end: '/*.jpg$'-style disallow blocks a
+    discovered contact page on BOTH sides, the non-matching sibling is
+    fetched."""
+    from web_scraper_spark.oracle.simulator import simulate
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.synthetic_web import WebRow
+
+    page = (b"<html><body>"
+            b"<a href='/contact-print.jpg'>Contact us</a>"
+            b"<a href='/contact-plain'>Contact us</a>"
+            b"</body></html>")
+    sub = b"<html><body><a href='tel:+1 (212) 555-0000'>c</a></body></html>"
+    web = [
+        WebRow("http://wild.test", "wild.test", 0, 200, "text/html", page),
+        WebRow("http://wild.test/contact-print.jpg", "wild.test", 1, 200, "text/html", sub),
+        WebRow("http://wild.test/contact-plain", "wild.test", 1, 200, "text/html", sub),
+        WebRow("http://wild.test/robots.txt", "wild.test", 0, 200, "text/plain",
+               b"User-agent: *\nDisallow: /*.jpg$\n"),
+    ]
+    oracle = simulate(["wild.test"], web, None, use_robots=True)
+    assert sorted(u for *_, u in oracle.crawl_order) == [
+        "http://wild.test", "http://wild.test/contact-plain",
+    ]
+    result = run_crawl(
+        spark, ["wild.test"], _webdf(spark, web), None,
+        workdir=str(tmp_path), use_robots=True,
+    )
+    got = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                 for r in result.crawl_log.collect())
+    assert got == oracle.crawl_order

@@ -185,11 +185,13 @@ def simulate(
             return True
         from urllib.parse import urlparse
 
+        from web_scraper_spark.sources.robots import rule_matches
+
         p = urlparse(url)
         path = p.path or "/"
         disallow, allow = robots_rules.get(p.netloc.lower(), ([], []))
-        dis = max((len(r) for r in disallow if path.startswith(r)), default=-1)
-        alw = max((len(r) for r in allow if path.startswith(r)), default=-1)
+        dis = max((len(r) for r in disallow if rule_matches(r, path)), default=-1)
+        alw = max((len(r) for r in allow if rule_matches(r, path)), default=-1)
         return not dis > alw
 
     # --- seed stage (run_url_producer.py:24-54): prepare, global dedup ---

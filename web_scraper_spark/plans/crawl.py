@@ -265,11 +265,13 @@ def run_crawl(
                 reqs, {}, timeout_s=live_timeout_s, proxy=live_proxy
             ).cache()
 
-            def _row(cond, disallow, transient):
+            def _row(cond, disallow, disallow_re, transient):
                 return fetched.where(cond).select(
                     "host",
                     disallow.alias("disallow"),
+                    disallow_re.alias("disallow_re"),
                     F.array().cast("array<string>").alias("allow"),
+                    F.array().cast("array<string>").alias("allow_re"),
                     F.lit(None).cast("double").alias("crawl_delay"),
                     F.lit(transient).alias("transient"),
                 )
@@ -280,11 +282,13 @@ def run_crawl(
             unavailable = _row(
                 F.col("status").between(400, 499),
                 F.array().cast("array<string>"),
+                F.array().cast("array<string>"),
                 False,
             )
             unreachable = _row(
                 (F.col("status") == 0) | (F.col("status") >= 500),
                 F.array(F.lit("/")),
+                F.array(F.lit("^/")),
                 True,
             )
             robots_t.append(
@@ -302,10 +306,12 @@ def run_crawl(
             latest = Window.partitionBy("host").orderBy(
                 F.desc("fetched_at"), F.asc("transient")
             )
+            from web_scraper_spark.sources.robots import RULES_COLS
+
             robots_rules = (
                 cached.withColumn("_rn", F.row_number().over(latest))
                 .where(F.col("_rn") == 1)
-                .select("host", "disallow", "allow", "crawl_delay")
+                .select("host", *RULES_COLS)
             )
 
     def _robots_filter(df: DataFrame) -> DataFrame:

@@ -9,15 +9,25 @@ Parsing happens once per host in an Arrow-batched pandas UDF over the
 fetched robots.txt bodies; matching is a pure Catalyst prefix test, so the
 10^10-row frontier never touches Python.
 
-Subset honored (per RFC 9309, ``User-agent: *`` group only): ``Disallow``
-and ``Allow`` prefixes with longest-match-wins (an Allow at least as
-specific as the best Disallow un-blocks the path — ties go to Allow, the
-least restrictive rule), plus ``Crawl-delay``. ``%``-escapes and ``*``/
-``$`` wildcards in rule paths are out of scope for the fixture and noted
-as such.
+Honored (per RFC 9309, ``User-agent: *`` group only): ``Disallow`` and
+``Allow`` rules including ``*`` (any chars) and trailing ``$`` (end
+anchor) wildcards, longest-match-wins between the two rule sets (an
+Allow at least as specific as the best Disallow un-blocks the path —
+ties go to Allow, the least restrictive rule; specificity = octet length
+of the RULE, wildcards included, the common implementation of the RFC's
+"longest match"), plus ``Crawl-delay``. ``%``-escape normalization is
+out of scope for the fixture and noted as such.
+
+``rule_to_regex`` is the single source of wildcard semantics — the
+Arrow-batched parser embeds its output in the rules table and the oracle
+simulator compiles the same strings, so engine and oracle cannot drift
+(the produced regexes avoid Python/Java escape dialect differences by
+escaping only the shared metacharacters).
 """
 
 from __future__ import annotations
+
+import re as _re
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -30,10 +40,36 @@ from pyspark.sql.functions import pandas_udf
 _RULES_SCHEMA = StructType(
     [
         StructField("disallow", ArrayType(StringType())),
+        StructField("disallow_re", ArrayType(StringType())),
         StructField("allow", ArrayType(StringType())),
+        StructField("allow_re", ArrayType(StringType())),
         StructField("crawl_delay", DoubleType()),
     ]
 )
+
+# metacharacters escaped identically by Python's re and Java's Pattern —
+# escaping anything else (re.escape's behavior) risks Java rejecting the
+# pattern (e.g. an escaped space)
+_REGEX_META = set(".^$+?()[]{}|\\")
+
+
+def rule_to_regex(pattern: str) -> str:
+    """RFC 9309 §2.2.3 rule -> regex: ``*`` matches any chars, a trailing
+    ``$`` anchors at end; everything else is literal. Valid in both
+    Python re and Java Pattern."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = [
+        "".join("\\" + c if c in _REGEX_META else c for c in piece)
+        for piece in body.split("*")
+    ]
+    return "^" + ".*".join(parts) + ("$" if anchored else "")
+
+
+def rule_matches(pattern: str, path: str) -> bool:
+    """Pure-Python rule match — the oracle simulator's mirror of the
+    engine's regexp_like over rule_to_regex output."""
+    return _re.search(rule_to_regex(pattern), path) is not None
 
 
 def parse_robots_body(body: str) -> tuple[list[str], list[str], float | None]:
@@ -76,43 +112,67 @@ def parse_robots_body(body: str) -> tuple[list[str], list[str], float | None]:
 
 @pandas_udf(_RULES_SCHEMA)
 def parse_robots(body: pd.Series) -> pd.DataFrame:
-    rows = [parse_robots_body(b if isinstance(b, str) else "") for b in body]
-    return pd.DataFrame(rows, columns=["disallow", "allow", "crawl_delay"])
+    rows = []
+    for b in body:
+        disallow, allow, delay = parse_robots_body(b if isinstance(b, str) else "")
+        rows.append(
+            (
+                disallow,
+                [rule_to_regex(p) for p in disallow],
+                allow,
+                [rule_to_regex(p) for p in allow],
+                delay,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["disallow", "disallow_re", "allow", "allow_re", "crawl_delay"]
+    )
 
 
 def build_rules_table(robots_pages: DataFrame) -> DataFrame:
-    """``(host, body)`` -> ``(host, disallow, allow, crawl_delay)`` one
-    row per host."""
+    """``(host, body)`` -> one row per host with raw rules (for
+    specificity lengths) and their precompiled regex forms (for
+    matching)."""
     return robots_pages.select(
         "host", parse_robots(F.col("body").cast("string")).alias("r")
-    ).select("host", "r.disallow", "r.allow", "r.crawl_delay")
+    ).select(
+        "host", "r.disallow", "r.disallow_re", "r.allow", "r.allow_re",
+        "r.crawl_delay",
+    )
 
 
-def _longest_match(rules_col: str, path):
-    """Length of the longest rule prefix matching ``path``; -1 if none
-    (pure Catalyst: filter + transform + array_max)."""
-    matched = F.filter(F.col(rules_col), lambda p: path.startswith(p))
+RULES_COLS = ["disallow", "disallow_re", "allow", "allow_re", "crawl_delay"]
+
+
+def _longest_match(rules_col: str, re_col: str, path):
+    """Octet length of the longest rule whose regex matches ``path``; -1
+    if none (pure Catalyst: arrays_zip + filter + array_max)."""
+    zipped = F.arrays_zip(F.col(rules_col), F.col(re_col))
+    matched = F.filter(zipped, lambda s: F.regexp_like(path, s[re_col]))
     return F.coalesce(
-        F.array_max(F.transform(matched, lambda p: F.length(p))), F.lit(-1)
+        F.array_max(F.transform(matched, lambda s: F.length(s[rules_col]))),
+        F.lit(-1),
     )
 
 
 def filter_allowed(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     """Drop frontier rows blocked by their host's rules: longest-match
-    wins between Disallow and Allow, ties to Allow (RFC 9309 §2.2.2).
-    Rules are broadcast; the match is pure Catalyst."""
+    wins between Disallow and Allow, ties to Allow (RFC 9309 §2.2.2),
+    ``*``/``$`` wildcards honored. Rules are broadcast; the match is pure
+    Catalyst."""
     raw_path = F.regexp_extract(
         F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1
     )
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     joined = frontier.join(F.broadcast(rules), "host", "left")
     blocked = F.when(F.col("disallow").isNull(), F.lit(False)).otherwise(
-        _longest_match("disallow", path)
+        _longest_match("disallow", "disallow_re", path)
         > F.coalesce(
             F.when(
-                F.col("allow").isNotNull(), _longest_match("allow", path)
+                F.col("allow").isNotNull(),
+                _longest_match("allow", "allow_re", path),
             ),
             F.lit(-1),
         )
     )
-    return joined.where(~blocked).drop("disallow", "allow", "crawl_delay")
+    return joined.where(~blocked).drop(*RULES_COLS)
