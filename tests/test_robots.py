@@ -181,8 +181,9 @@ def test_rule_to_regex_wildcards():
 
     assert rule_to_regex("/a*.jpg$") == r"^/a.*\.jpg$"
     assert rule_matches("/*.jpg$", "/img/x.jpg")
-    assert not rule_matches("/*.jpg$", "/img/x.jpg?v=1".split("?")[0] + "x")
+    assert rule_matches("/*?sid=", "/page?sid=1")      # query-string rule
     assert not rule_matches("/*.jpg$", "/img/x.jpgx")  # $ anchors
+    assert not rule_matches("/p$", "/xp")              # $ with no * = exact
     assert rule_matches("/a*b", "/aXXXb/tail")  # unanchored tail ok
     assert not rule_matches("/a*b", "/b/a")     # ^ anchors at path start
     assert rule_matches("/p(1)", "/p(1)")       # meta chars stay literal
@@ -239,6 +240,49 @@ def test_crawl_wildcard_robots_matches_oracle(spark, tmp_path):
     ]
     result = run_crawl(
         spark, ["wild.test"], _webdf(spark, web), None,
+        workdir=str(tmp_path), use_robots=True,
+    )
+    got = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                 for r in result.crawl_log.collect())
+    assert got == oracle.crawl_order
+
+
+def test_wildcard_matchers_agree_fuzz():
+    """The engine's regex translation (rule_to_regex + re) and the
+    oracle's independent greedy segment scan must agree on random
+    pattern/text pairs — the two implementations exist precisely so a
+    bug in one is caught by the other."""
+    import random
+
+    from web_scraper_spark.oracle.simulator import wildcard_rule_matches
+    from web_scraper_spark.sources.robots import rule_matches
+
+    rng = random.Random(7)
+    for _ in range(3000):
+        pat = "/" + "".join(rng.choice("ab*.$/?") for _ in range(rng.randrange(0, 8)))
+        txt = "/" + "".join(rng.choice("ab.$/?x") for _ in range(rng.randrange(0, 10)))
+        assert rule_matches(pat, txt) == wildcard_rule_matches(pat, txt), (pat, txt)
+
+
+def test_crawl_query_string_robots_matches_oracle(spark, tmp_path):
+    """Query-string wildcard rules (RFC matches path+query): a seed whose
+    raw url carries ?sid= is blocked, its query-less twin is fetched —
+    identically on both sides."""
+    from web_scraper_spark.oracle.simulator import simulate
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.synthetic_web import WebRow
+
+    web = [
+        WebRow("http://q.test/p", "q.test", 0, 200, "text/html",
+               b"<html><body>x</body></html>"),
+        WebRow("http://q.test/robots.txt", "q.test", 0, 200, "text/plain",
+               b"User-agent: *\nDisallow: /*?sid=\n"),
+    ]
+    seeds = ["q.test/p?sid=1", "q.test/p"]
+    oracle = simulate(seeds, web, None, use_robots=True)
+    assert [u for *_, u in oracle.crawl_order] == ["http://q.test/p"]
+    result = run_crawl(
+        spark, seeds, _webdf(spark, web), None,
         workdir=str(tmp_path), use_robots=True,
     )
     got = sorted((r["round"], r.depth, r.seed_idx, r.url)

@@ -36,7 +36,14 @@ def asof_join(
 ) -> DataFrame:
     """Left rows + ``payload`` columns of the latest right row with
     ``right_time <= left_time`` per ``key`` (nulls when none precedes).
-    ``right`` must be unique per (key, right_time)."""
+    ``right`` must be unique per (key, right_time); payload names must
+    not collide with left columns (the output carries both)."""
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload columns {sorted(clash)} collide with left columns — "
+            "rename one side before joining"
+        )
     left_struct_t = left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
     payload_struct_t = right.select(F.struct(*payload).alias("s")).schema["s"].dataType
 

@@ -138,6 +138,36 @@ def canonicalize(url: str) -> str:
     return f"{scheme}://{p.netloc}{p.path}".rstrip("/")
 
 
+def wildcard_rule_matches(pattern: str, text: str) -> bool:
+    """RFC 9309 rule match (``*`` any chars, trailing ``$`` anchors) as a
+    greedy segment scan — deliberately INDEPENDENT of the engine's
+    rule_to_regex translation (sources/robots.py), so a regex-translation
+    bug cannot hide behind shared code. Greedy leftmost placement of each
+    literal segment is complete for existence; the anchored case pins the
+    last segment to the end first."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    parts = body.split("*")
+    if anchored:
+        last = parts[-1]
+        if not text.endswith(last):
+            return False
+        text = text[: len(text) - len(last)]
+        parts = parts[:-1]
+        if not parts:
+            # no '*' at all: '^p$' means the whole text IS the pattern
+            return text == ""
+    if not text.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for part in parts[1:]:
+        i = text.find(part, pos)
+        if i < 0:
+            return False
+        pos = i + len(part)
+    return True
+
+
 def frontier_sort_key(priority: float, seed_idx: int, url: str):
     """Politeness drain order per host: (priority, seed_idx, RAW frontier
     url) — byte-identical to the engine's ORDER_COLS
@@ -185,13 +215,12 @@ def simulate(
             return True
         from urllib.parse import urlparse
 
-        from web_scraper_spark.sources.robots import rule_matches
-
         p = urlparse(url)
-        path = p.path or "/"
+        path = (p.path + (f"?{p.query}" if p.query else "")) or "/"
         disallow, allow = robots_rules.get(p.netloc.lower(), ([], []))
-        dis = max((len(r) for r in disallow if rule_matches(r, path)), default=-1)
-        alw = max((len(r) for r in allow if rule_matches(r, path)), default=-1)
+        octets = lambda r: len(r.encode("utf-8"))
+        dis = max((octets(r) for r in disallow if wildcard_rule_matches(r, path)), default=-1)
+        alw = max((octets(r) for r in allow if wildcard_rule_matches(r, path)), default=-1)
         return not dis > alw
 
     # --- seed stage (run_url_producer.py:24-54): prepare, global dedup ---

@@ -248,6 +248,11 @@ def run_crawl(
 
         hosts = df.select("host").dropDuplicates(["host"])
         known = robots_t.read()
+        if known is not None and "disallow_re" not in known.columns:
+            # cache written by an older rules schema: rules are cheap to
+            # re-fetch, so bust the cache rather than migrate it
+            robots_t.reset()
+            known = None
         if known is not None:
             hosts = hosts.join(
                 known.where(~F.col("transient")).select("host"),
@@ -288,7 +293,10 @@ def run_crawl(
             unreachable = _row(
                 (F.col("status") == 0) | (F.col("status") >= 500),
                 F.array(F.lit("/")),
-                F.array(F.lit("^/")),
+                # '/' is a plain prefix -> null regex, matched startswith
+                # like every other prefix rule (single source of
+                # semantics; review r2)
+                F.array(F.lit(None).cast("string")),
                 True,
             )
             robots_t.append(

@@ -6,8 +6,10 @@ crawl_delay)`` and applies them with a join — rules are a small dimension
 (#hosts rows), always broadcast.
 
 Parsing happens once per host in an Arrow-batched pandas UDF over the
-fetched robots.txt bodies; matching is a pure Catalyst prefix test, so the
-10^10-row frontier never touches Python.
+fetched robots.txt bodies; matching is pure Catalyst — a startswith for
+plain-prefix rules (the overwhelmingly common case; zero regex machinery
+on the hot path) and regexp_like only for rules that actually carry
+wildcards — so the 10^10-row frontier never touches Python.
 
 Honored (per RFC 9309, ``User-agent: *`` group only): ``Disallow`` and
 ``Allow`` rules including ``*`` (any chars) and trailing ``$`` (end
@@ -18,11 +20,12 @@ of the RULE, wildcards included, the common implementation of the RFC's
 "longest match"), plus ``Crawl-delay``. ``%``-escape normalization is
 out of scope for the fixture and noted as such.
 
-``rule_to_regex`` is the single source of wildcard semantics — the
-Arrow-batched parser embeds its output in the rules table and the oracle
-simulator compiles the same strings, so engine and oracle cannot drift
-(the produced regexes avoid Python/Java escape dialect differences by
-escaping only the shared metacharacters).
+``rule_to_regex`` defines the engine's wildcard semantics (its regexes
+avoid Python/Java escape dialect differences by escaping only the shared
+metacharacters); the oracle simulator deliberately implements matching
+INDEPENDENTLY (a greedy segment scan, no regexes) so a translation bug
+here cannot hide behind shared code — parity tests compare the two.
+Specificity is measured in OCTETS (utf-8 length) per the RFC.
 """
 
 from __future__ import annotations
@@ -110,19 +113,25 @@ def parse_robots_body(body: str) -> tuple[list[str], list[str], float | None]:
     return disallow, allow, delay
 
 
+def _regexes_for(rules: list[str]) -> list[str | None]:
+    """Regex form per rule — or None for plain-prefix rules (no wildcard
+    chars), which the filter matches with a cheap startswith instead of
+    a per-row Pattern compile (almost all real robots rules are plain
+    prefixes; RLike only caches FOLDABLE patterns, so a regex from an
+    array element recompiles per row x rule — review r2)."""
+    return [
+        rule_to_regex(p) if ("*" in p or p.endswith("$")) else None
+        for p in rules
+    ]
+
+
 @pandas_udf(_RULES_SCHEMA)
 def parse_robots(body: pd.Series) -> pd.DataFrame:
     rows = []
     for b in body:
         disallow, allow, delay = parse_robots_body(b if isinstance(b, str) else "")
         rows.append(
-            (
-                disallow,
-                [rule_to_regex(p) for p in disallow],
-                allow,
-                [rule_to_regex(p) for p in allow],
-                delay,
-            )
+            (disallow, _regexes_for(disallow), allow, _regexes_for(allow), delay)
         )
     return pd.DataFrame(
         rows, columns=["disallow", "disallow_re", "allow", "allow_re", "crawl_delay"]
@@ -145,12 +154,18 @@ RULES_COLS = ["disallow", "disallow_re", "allow", "allow_re", "crawl_delay"]
 
 
 def _longest_match(rules_col: str, re_col: str, path):
-    """Octet length of the longest rule whose regex matches ``path``; -1
-    if none (pure Catalyst: arrays_zip + filter + array_max)."""
+    """Octet length of the longest rule matching ``path``; -1 if none.
+    Plain-prefix rules (null regex) use startswith — no regex machinery
+    on the hot path; wildcard rules fall back to regexp_like (pure
+    Catalyst either way: arrays_zip + filter + array_max)."""
     zipped = F.arrays_zip(F.col(rules_col), F.col(re_col))
-    matched = F.filter(zipped, lambda s: F.regexp_like(path, s[re_col]))
+    matched = F.filter(
+        zipped,
+        lambda s: F.when(s[re_col].isNull(), path.startswith(s[rules_col]))
+        .otherwise(F.regexp_like(path, s[re_col])),
+    )
     return F.coalesce(
-        F.array_max(F.transform(matched, lambda s: F.length(s[rules_col]))),
+        F.array_max(F.transform(matched, lambda s: F.octet_length(s[rules_col]))),
         F.lit(-1),
     )
 
@@ -158,10 +173,12 @@ def _longest_match(rules_col: str, re_col: str, path):
 def filter_allowed(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     """Drop frontier rows blocked by their host's rules: longest-match
     wins between Disallow and Allow, ties to Allow (RFC 9309 §2.2.2),
-    ``*``/``$`` wildcards honored. Rules are broadcast; the match is pure
-    Catalyst."""
+    ``*``/``$`` wildcards honored, matched against PATH + QUERY (the
+    RFC's URI portion after the authority — query-string rules like
+    ``Disallow: /*?session=`` must work). Rules are broadcast; the match
+    is pure Catalyst."""
     raw_path = F.regexp_extract(
-        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^#]*)", 1
     )
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     joined = frontier.join(F.broadcast(rules), "host", "left")
