@@ -140,14 +140,23 @@ def fetch_live(
 
 def _pace_batch(batch: pd.DataFrame, delays: dict[str, float]):
     """Schedule (monotonic-deadline, row-idx) per URL honoring per-host
-    crawl delays within this partition. Pure logic -> unit-testable."""
+    crawl delays within this partition. Pure logic -> unit-testable.
+
+    Delay source precedence: a non-null per-row ``crawl_delay`` column
+    (the frontier carries it from the robots broadcast join — scales to
+    any host count, no driver dict) > the ``delays`` dict (kept for
+    direct fetch_live callers and tests) > 0."""
     start = time.monotonic()
     next_slot: dict[str, float] = {}
     order = []
     hosts = batch["host"] if "host" in batch else pd.Series([""] * len(batch))
+    delay_col = batch["crawl_delay"] if "crawl_delay" in batch else None
     for idx in range(len(batch)):
         host = hosts.iloc[idx]
-        delay = delays.get(host, 0.0)
+        if delay_col is not None and pd.notna(delay_col.iloc[idx]):
+            delay = float(delay_col.iloc[idx])
+        else:
+            delay = delays.get(host, 0.0)
         when = max(start, next_slot.get(host, start))
         next_slot[host] = when + delay
         order.append((when, idx))
