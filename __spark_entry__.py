@@ -52,31 +52,24 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from web_scraper_spark.plans.contract import QUERIES as base
+def _registry(attr: str) -> dict:
+    # NO silent except here: a failed contract-module import must surface,
+    # not quietly shrink the registry (r02 recorded only 50 of 64 queries;
+    # a swallowed ImportError produces exactly that symptom)
+    import importlib
 
-    out = dict(base)
+    from web_scraper_spark.plans.contract import ORACLES, QUERIES
+
+    out = dict(QUERIES if attr == "QUERIES" else ORACLES)
     for mod in ("contract_training", "contract_extract"):
-        try:
-            import importlib
-
-            m = importlib.import_module(f"web_scraper_spark.plans.{mod}")
-            out.update(m.QUERIES)
-        except ImportError:
-            pass
+        m = importlib.import_module(f"web_scraper_spark.plans.{mod}")
+        out.update(getattr(m, attr))
     return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _registry("QUERIES")
 
 
 def oracle_sql() -> dict[str, str]:
-    from web_scraper_spark.plans.contract import ORACLES as base
-
-    out = dict(base)
-    for mod in ("contract_training", "contract_extract"):
-        try:
-            import importlib
-
-            m = importlib.import_module(f"web_scraper_spark.plans.{mod}")
-            out.update(m.ORACLES)
-        except ImportError:
-            pass
-    return out
+    return _registry("ORACLES")

@@ -7,6 +7,12 @@ JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "throughput": {...}}
 
+Noise robustness (VERDICT r2 item 4): this VM shows ~12% hypervisor
+steal, so single-shot timings vary +-30% — every headline item runs
+``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and reports the BEST, so
+one steal-dominated driver invocation can't poison the round's record.
+Per-rep raw timings ride along under "reps" for spread inspection.
+
 Headline set:
 - ``frontier_dedup``: the graft's core loop at bench scale — a synthetic
   frontier (hot-host skew baked in) pushed through canonicalize ->
@@ -15,7 +21,9 @@ Headline set:
 - ``crawl_e2e``: the full HTML crawl (fetch-join + extract UDF + merge +
   image landing) over a generated synthetic web. Reports pages/sec.
 - contract flagships: q1 / q5 / merge / minhash-LSH / ANN top-k /
-  sessionize over the sf parquet tables.
+  sessionize, plus the r3 additions dedup_cluster_labels (iterative
+  pointer-jumping components) and image_phash_neardup (banded Hamming)
+  over the sf parquet tables.
 """
 
 from __future__ import annotations
@@ -26,6 +34,20 @@ import shutil
 import sys
 import tempfile
 import time
+
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def best_of(fn, reps: int = REPS) -> tuple[float, list[float]]:
+    """Run ``fn`` ``reps`` times; return (best seconds, all raw seconds).
+    ``fn`` must be self-contained (own setup/teardown) so reps are
+    independent."""
+    raw: list[float] = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        raw.append(time.monotonic() - t0)
+    return min(raw), raw
 
 
 def main() -> None:
@@ -41,17 +63,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    reps_raw: dict[str, list[float]] = {}
     throughput: dict[str, float] = {}
 
     # ---- frontier dedup at bench scale ---------------------------------
     n_urls = int(2_000_000 * max(sf, 0.01))
-    t0 = time.monotonic()
-    workdir = tempfile.mkdtemp(prefix="bench_seen_")
-    try:
-        from web_scraper_spark.operators.seen import BloomURLSeenSet
 
-        seen = BloomURLSeenSet(spark, workdir, num_partitions=max(cpus, 8))
-        urls = spark.range(n_urls).select(
+    def _urls(lo: int, hi: int):
+        return spark.range(lo, hi).select(
             F.concat(
                 F.lit("http://host-"),
                 # hot-host skew: 10% of urls on host 0
@@ -62,47 +81,56 @@ def main() -> None:
                 F.col("id").cast("string"),
             ).alias("url")
         )
-        novel1 = seen.filter_and_add(urls).count()
-        # second batch: half duplicates of batch 1, half new
-        urls2 = spark.range(n_urls // 2, n_urls + n_urls // 2).select(
-            F.concat(
-                F.lit("http://host-"),
-                F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(
-                    F.col("id") % 5000
-                ).cast("string"),
-                F.lit(".test/page/"),
-                F.col("id").cast("string"),
-            ).alias("url")
-        )
-        novel2 = seen.filter_and_add(urls2).count()
-        dt = time.monotonic() - t0
-        timings["frontier_dedup"] = round(dt, 3)
-        throughput["frontier_dedup_urls_per_sec"] = round((n_urls * 2) / dt, 1)
-        # Bloom is approximate: all true dupes must be dropped; a small
-        # false-positive fraction of genuinely-new URLs may be dropped too
-        assert novel1 >= 0.99 * n_urls, novel1
-        assert 0.98 * (n_urls // 2) <= novel2 <= n_urls // 2, novel2
-        throughput["frontier_dedup_fp"] = (n_urls + n_urls // 2) - novel1 - novel2
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+
+    fp_box: list[int] = []
+
+    def run_frontier_dedup() -> None:
+        from web_scraper_spark.operators.seen import BloomURLSeenSet
+
+        workdir = tempfile.mkdtemp(prefix="bench_seen_")
+        try:
+            seen = BloomURLSeenSet(spark, workdir, num_partitions=max(cpus, 8))
+            novel1 = seen.filter_and_add(_urls(0, n_urls)).count()
+            # second batch: half duplicates of batch 1, half new
+            novel2 = seen.filter_and_add(
+                _urls(n_urls // 2, n_urls + n_urls // 2)
+            ).count()
+            # Bloom is approximate: all true dupes must be dropped; a small
+            # false-positive fraction of genuinely-new URLs may drop too
+            assert novel1 >= 0.99 * n_urls, novel1
+            assert 0.98 * (n_urls // 2) <= novel2 <= n_urls // 2, novel2
+            fp_box.append((n_urls + n_urls // 2) - novel1 - novel2)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    dt, raw = best_of(run_frontier_dedup)
+    timings["frontier_dedup"] = round(dt, 3)
+    reps_raw["frontier_dedup"] = [round(r, 3) for r in raw]
+    throughput["frontier_dedup_urls_per_sec"] = round((n_urls * 2) / dt, 1)
+    throughput["frontier_dedup_fp"] = fp_box[-1]
 
     # ---- end-to-end crawl over synthetic web ---------------------------
+    # timed region matches r1/r2 (fixture gen included) for comparability
     n_domains = max(int(3000 * max(sf, 0.01)), 60)
-    t0 = time.monotonic()
-    workdir = tempfile.mkdtemp(prefix="bench_crawl_")
-    try:
+    pages_box: list[int] = []
+
+    def run_crawl_e2e() -> None:
         from web_scraper_spark.plans.crawl import run_crawl
         from web_scraper_spark.sources.synthetic_web import build_web, web_host_df
 
-        seeds, _ = build_web(n_domains)
-        webdf = web_host_df(spark, n_domains)
-        result = run_crawl(spark, seeds, webdf, None, workdir=workdir)
-        pages = result.crawl_log.count()
-        dt = time.monotonic() - t0
-        timings["crawl_e2e"] = round(dt, 3)
-        throughput["crawl_pages_per_sec"] = round(pages / dt, 1)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+        workdir = tempfile.mkdtemp(prefix="bench_crawl_")
+        try:
+            seeds, _ = build_web(n_domains)
+            webdf = web_host_df(spark, n_domains)
+            result = run_crawl(spark, seeds, webdf, None, workdir=workdir)
+            pages_box.append(result.crawl_log.count())
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    dt, raw = best_of(run_crawl_e2e)
+    timings["crawl_e2e"] = round(dt, 3)
+    reps_raw["crawl_e2e"] = [round(r, 3) for r in raw]
+    throughput["crawl_pages_per_sec"] = round(pages_box[-1] / dt, 1)
 
     # ---- contract flagships over the sf parquet -------------------------
     import __spark_entry__ as entry
@@ -113,25 +141,31 @@ def main() -> None:
         "q5_region_revenue",
         "e1_merge_records",
         "dedup_minhash_lsh",
+        "dedup_cluster_labels",
+        "image_phash_neardup",
         "ann_cosine_topk",
         "stream_sessionize",
     ):
-        t0 = time.monotonic()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        def run_query(name=name):
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+
+        dt, raw = best_of(run_query)
+        timings[name] = round(dt, 3)
+        reps_raw[name] = [round(r, 3) for r in raw]
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (frontier dedup + e2e crawl + flagship queries)",
+                "metric": "headline suite wall time (frontier dedup + e2e crawl + flagship queries; best-of-%d per item)" % REPS,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "throughput": throughput,
                 "cpus": cpus,
+                "reps": reps_raw,
             }
         )
     )

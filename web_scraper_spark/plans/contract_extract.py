@@ -29,11 +29,28 @@ from web_scraper_spark.plans.contract import ORACLES, QUERIES, register
 
 FIXTURE_N_DOMAINS = 60
 FIXTURE_SEED = 7
-_FIXTURE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "tests",
-    "fixtures",
-)
+
+
+def _fixture_dir() -> str:
+    """Committed-fixture location, robust to HOW the package is imported:
+    a checkout import resolves relative to __file__; a --py-files zip
+    import (where __file__ sits inside the archive and the relative walk
+    lands nowhere) falls back to the repo checkout, then to cwd."""
+    rel = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "tests",
+        "fixtures",
+    )
+    for cand in (rel, "/root/repo/tests/fixtures",
+                 os.path.join(os.getcwd(), "tests", "fixtures")):
+        if os.path.isdir(cand):
+            return cand
+    return rel
+
+
+_FIXTURE_DIR = _fixture_dir()
 PAGES_PATH = os.path.join(_FIXTURE_DIR, "extract_pages.parquet")
 GOLDEN_PATH = os.path.join(_FIXTURE_DIR, "extract_golden.parquet")
 

@@ -1308,10 +1308,10 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 # Iterative algorithm — k-means (Lloyd's) in pure DataFrame ops, used as
-# a REAL trained coarse quantizer for IVF ANN. No SQL oracle (iterative
-# driver loop is not one-shot-SQL-expressible; the driver records the
-# rows-only check), but the output is deterministic: k-means++-free
-# seeding from fixed vec_ids, 3 Lloyd iterations, ties broken by label.
+# a REAL trained coarse quantizer for IVF ANN. The oracle (_sql_kmeans,
+# below) unrolls the fixed 3 Lloyd iterations as chained DuckDB CTEs.
+# Output is deterministic: k-means++-free seeding from fixed vec_ids,
+# 3 Lloyd iterations, ties broken by label.
 # Scale shape: each iteration is one groupBy (assignments never leave the
 # executors except as k centroids), the k centroids broadcast back.
 @register("ann_ivf_kmeans")
@@ -1355,8 +1355,10 @@ def ann_ivf_kmeans(spark, sf_dir):
             .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("cs"))
             .select("cid", F.transform(F.col("cs"), lambda s: s["c"]).alias("centroid"))
         )
-        cents = cents.cache()
-        cents.count()
+        # truncate the LOGICAL plan per iteration, not just execution —
+        # the repo invariant for iterative DataFrame ops (CLAUDE.md;
+        # operators/components.py does the same)
+        cents = cents.localCheckpoint(eager=True)
 
     # IVF probe: route the query to its centroid, brute-force inside
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
