@@ -262,6 +262,88 @@ def test_wildcard_matchers_agree_fuzz():
         pat = "/" + "".join(rng.choice("ab*.$/?") for _ in range(rng.randrange(0, 8)))
         txt = "/" + "".join(rng.choice("ab.$/?x") for _ in range(rng.randrange(0, 10)))
         assert rule_matches(pat, txt) == wildcard_rule_matches(pat, txt), (pat, txt)
+    # second band: %-escapes (valid, invalid, reserved, multi-byte) and a
+    # raw non-ASCII char, stressing the §2.2.2 normalization on both sides
+    for _ in range(3000):
+        pat = "/" + "".join(
+            rng.choice(["a", "b", "*", "$", "/", "%", "2", "6", "F", "C3", "A9", "é"])
+            for _ in range(rng.randrange(0, 7))
+        )
+        txt = "/" + "".join(
+            rng.choice(["a", "b", ".", "$", "/", "%", "2", "6", "f", "c3", "a9", "é", "x"])
+            for _ in range(rng.randrange(0, 9))
+        )
+        assert rule_matches(pat, txt) == wildcard_rule_matches(pat, txt), (pat, txt)
+
+
+def test_pct_escape_normalization():
+    """RFC 9309 §2.2.2 percent-encoding comparison — asserted on BOTH
+    independent matchers (engine regex translation + oracle position-set
+    sweep)."""
+    from web_scraper_spark.oracle.simulator import wildcard_rule_matches
+    from web_scraper_spark.sources.robots import rule_matches
+
+    cases = [
+        # escaped non-reserved octets match either spelling of the path
+        ("/caf%C3%A9", "/café", True),
+        ("/caf%C3%A9", "/caf%C3%A9", True),
+        ("/caf%C3%A9", "/caf%c3%a9", True),     # hex case-insensitive
+        ("/café", "/caf%C3%A9", True),          # raw non-ASCII rule, escaped path
+        ("/café", "/café", True),
+        ("/%61bc", "/abc", True),               # needlessly-escaped unreserved
+        ("/%61bc", "/%61bc", True),
+        # escaped RESERVED octets match only their escape form
+        ("/a%2Fb", "/a%2Fb", True),
+        ("/a%2Fb", "/a%2fb", True),
+        ("/a%2Fb", "/a/b", False),
+        ("/a/b", "/a%2Fb", False),              # raw ASCII stays literal-only
+        ("/abc", "/%61bc", False),              # plain prefix never rewrites path
+        # invalid escape -> literal '%'
+        ("/100%", "/100%", True),
+        ("/100%25", "/100%25", True),
+        ("/100%25", "/100%", False),            # %25 is reserved: escape-only
+        # wildcards + anchors still compose with normalization
+        ("/caf%C3%A9*.jpg$", "/café/x.jpg", True),
+        ("/caf%C3%A9*.jpg$", "/caf%c3%a9/x.jpgx", False),
+    ]
+    for pat, txt, want in cases:
+        assert rule_matches(pat, txt) is want, ("engine", pat, txt)
+        assert wildcard_rule_matches(pat, txt) is want, ("oracle", pat, txt)
+
+
+def test_filter_allowed_pct_escapes(spark):
+    """Mixed-encoding rules through the real Spark filter: the (?i:%..)
+    regex form must be valid for Java's Pattern and match both path
+    spellings; plain ASCII rules stay on the startswith path."""
+    from web_scraper_spark.sources.robots import build_rules_table, filter_allowed
+
+    pages = spark.createDataFrame(
+        [("w.test",
+          b"User-agent: *\n"
+          b"Disallow: /caf%C3%A9\n"
+          b"Disallow: /plain\n"
+          b"Allow: /caf%C3%A9/menu\n")],
+        "host string, body binary",
+    )
+    rules = build_rules_table(pages)
+    frontier = spark.createDataFrame(
+        [
+            ("http://w.test/café/x", "w.test"),        # raw path blocked
+            ("http://w.test/caf%C3%A9/x", "w.test"),        # escaped blocked
+            ("http://w.test/caf%c3%a9/x", "w.test"),        # lowercase hex blocked
+            ("http://w.test/caf%C3%A9/menu", "w.test"),     # longer Allow wins
+            ("http://w.test/café/menu", "w.test"),     # ... in raw form too
+            ("http://w.test/plain/x", "w.test"),            # startswith path
+            ("http://w.test/other", "w.test"),
+        ],
+        "url string, host string",
+    )
+    kept = {r.url for r in filter_allowed(frontier, rules).collect()}
+    assert kept == {
+        "http://w.test/caf%C3%A9/menu",
+        "http://w.test/café/menu",
+        "http://w.test/other",
+    }
 
 
 def test_crawl_query_string_robots_matches_oracle(spark, tmp_path):

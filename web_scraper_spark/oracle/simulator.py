@@ -138,34 +138,102 @@ def canonicalize(url: str) -> str:
     return f"{scheme}://{p.netloc}{p.path}".rstrip("/")
 
 
+_ORC_RESERVED = set("/?#[]@!$&'()*+,;=:%")
+
+
+def _orc_segment_options(segment: str) -> list[tuple[str, ...]]:
+    """Wildcard-free rule segment -> per-position tuples of acceptable
+    text spellings (RFC 9309 §2.2.2 percent-encoding comparison).
+    Independent reimplementation of the engine's tokenizer semantics:
+    raw ASCII chars accept only themselves; raw non-ASCII and escaped
+    non-reserved chars accept the literal char or its %-encoded UTF-8
+    form (hex case-insensitive, handled by uppercasing the compared text
+    slice); escaped reserved/undecodable octets accept only the escape."""
+    import re
+
+    opts: list[tuple[str, ...]] = []
+    pos = 0
+    esc = re.compile(r"(?:%[0-9a-fA-F]{2})+")
+    while pos < len(segment):
+        m = esc.match(segment, pos)
+        if m:
+            raw = m.group(0)
+            octets = bytes(
+                int(raw[k + 1 : k + 3], 16) for k in range(0, len(raw), 3)
+            )
+            try:
+                chars = octets.decode("utf-8")
+            except UnicodeDecodeError:
+                chars = None
+            if chars is None:
+                for b in octets:
+                    c = chr(b)
+                    if b < 128 and c not in _ORC_RESERVED:
+                        opts.append((c, "%%%02X" % b))
+                    else:
+                        opts.append(("%%%02X" % b,))
+            else:
+                for c in chars:
+                    enc = "".join("%%%02X" % b for b in c.encode("utf-8"))
+                    if c in _ORC_RESERVED:
+                        opts.append((enc,))
+                    else:
+                        opts.append((c, enc))
+            pos = m.end()
+        else:
+            c = segment[pos]
+            if ord(c) > 127:
+                enc = "".join("%%%02X" % b for b in c.encode("utf-8"))
+                opts.append((c, enc))
+            else:
+                opts.append((c,))
+            pos += 1
+    return opts
+
+
+def _orc_ends(text: str, start: int, opts: list[tuple[str, ...]]) -> set[int]:
+    """All end positions of a full segment match beginning exactly at
+    ``start`` — a reachable-positions sweep, complete by construction
+    (no greedy choices). Escape options compare hex case-insensitively."""
+    ends = {start}
+    for alternatives in opts:
+        nxt: set[int] = set()
+        for e in ends:
+            for opt in alternatives:
+                cand = text[e : e + len(opt)]
+                if cand == opt or (
+                    opt.startswith("%") and cand.upper() == opt
+                ):
+                    nxt.add(e + len(opt))
+        if not nxt:
+            return set()
+        ends = nxt
+    return ends
+
+
 def wildcard_rule_matches(pattern: str, text: str) -> bool:
-    """RFC 9309 rule match (``*`` any chars, trailing ``$`` anchors) as a
-    greedy segment scan — deliberately INDEPENDENT of the engine's
-    rule_to_regex translation (sources/robots.py), so a regex-translation
-    bug cannot hide behind shared code. Greedy leftmost placement of each
-    literal segment is complete for existence; the anchored case pins the
-    last segment to the end first."""
+    """RFC 9309 rule match (``*`` any chars, trailing ``$`` anchors,
+    §2.2.2 percent-encoding comparison) — deliberately INDEPENDENT of the
+    engine's rule_to_regex translation (sources/robots.py), so a
+    translation bug cannot hide behind shared code. Implemented as a
+    reachable-positions sweep: each wildcard-free segment expands into
+    per-char spelling alternatives, matched via a position-set DP; '*'
+    lifts the reachable set to every later position."""
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
-    parts = body.split("*")
-    if anchored:
-        last = parts[-1]
-        if not text.endswith(last):
+    segments = [_orc_segment_options(p) for p in body.split("*")]
+    ends = _orc_ends(text, 0, segments[0])
+    for opts in segments[1:]:
+        if not ends:
             return False
-        text = text[: len(text) - len(last)]
-        parts = parts[:-1]
-        if not parts:
-            # no '*' at all: '^p$' means the whole text IS the pattern
-            return text == ""
-    if not text.startswith(parts[0]):
+        lo = min(ends)
+        nxt: set[int] = set()
+        for s in range(lo, len(text) + 1):
+            nxt |= _orc_ends(text, s, opts)
+        ends = nxt
+    if not ends:
         return False
-    pos = len(parts[0])
-    for part in parts[1:]:
-        i = text.find(part, pos)
-        if i < 0:
-            return False
-        pos = i + len(part)
-    return True
+    return (len(text) in ends) if anchored else True
 
 
 def frontier_sort_key(priority: float, seed_idx: int, url: str):

@@ -16,9 +16,15 @@ Honored (per RFC 9309, ``User-agent: *`` group only): ``Disallow`` and
 anchor) wildcards, longest-match-wins between the two rule sets (an
 Allow at least as specific as the best Disallow un-blocks the path —
 ties go to Allow, the least restrictive rule; specificity = octet length
-of the RULE, wildcards included, the common implementation of the RFC's
-"longest match"), plus ``Crawl-delay``. ``%``-escape normalization is
-out of scope for the fixture and noted as such.
+of the RULE as written, wildcards and escapes included, the common
+implementation of the RFC's "longest match"), plus ``Crawl-delay``.
+``%``-escape normalization (RFC 9309 §2.2.2): rules are normalized on
+the RULE side — an escaped non-reserved octet (``/caf%C3%A9``) or a raw
+non-ASCII char (``/café``) matches the path in either encoding, with
+escape hex compared case-insensitively; escaped RESERVED octets
+(``%2F``) match only their escape form (a %-encoded slash is not a path
+separator). Paths are never rewritten — plain ASCII rules keep exact
+startswith semantics on the hot path.
 
 ``rule_to_regex`` defines the engine's wildcard semantics (its regexes
 avoid Python/Java escape dialect differences by escaping only the shared
@@ -55,17 +61,87 @@ _RULES_SCHEMA = StructType(
 # pattern (e.g. an escaped space)
 _REGEX_META = set(".^$+?()[]{}|\\")
 
+# reserved URI characters (RFC 3986 gen-delims + sub-delims, plus '%'):
+# an ESCAPED reserved octet is semantically distinct from its literal
+# form (%2F is not a path separator), so rules keep it escape-form-only;
+# every other escaped char — and every raw non-ASCII char — matches
+# either encoding (RFC 9309 §2.2.2 percent-encoding comparison)
+_RESERVED = set("/?#[]@!$&'()*+,;=:%")
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _pct(ch: str) -> str:
+    return "".join(f"%{b:02X}" for b in ch.encode("utf-8"))
+
+
+def _rule_tokens(piece: str) -> list[tuple[str | None, str | None]]:
+    """Wildcard-free rule piece -> (literal_char, escape_form) tokens.
+
+    Raw ASCII chars: (ch, None) — literal-only (a plain 'a' in a rule
+    does NOT match '%61' in a path; matching is rule-side-normalizing
+    only, so plain ASCII prefixes keep exact startswith semantics).
+    Raw non-ASCII chars: (ch, pct) — either encoding matches.
+    %XX escapes: maximal runs decode as UTF-8 (per-byte fallback for
+    invalid sequences); reserved octets stay (None, pct) escape-only,
+    anything else becomes (ch, pct). Invalid escapes ('%' without two
+    hex digits) are a literal '%'."""
+    toks: list[tuple[str | None, str | None]] = []
+    i = 0
+    n = len(piece)
+    while i < n:
+        c = piece[i]
+        if c == "%" and i + 3 <= n and piece[i + 1] in _HEX and piece[i + 2] in _HEX:
+            run = bytearray()
+            while (
+                i + 3 <= n
+                and piece[i] == "%"
+                and piece[i + 1] in _HEX
+                and piece[i + 2] in _HEX
+            ):
+                run.append(int(piece[i + 1 : i + 3], 16))
+                i += 3
+            try:
+                decoded = [(ch, _pct(ch)) for ch in run.decode("utf-8")]
+            except UnicodeDecodeError:
+                decoded = [
+                    (chr(b) if b < 128 else None, "%%%02X" % b) for b in run
+                ]
+            for ch, pct in decoded:
+                if ch is None or ch in _RESERVED:
+                    toks.append((None, pct))
+                else:
+                    toks.append((ch, pct))
+        else:
+            toks.append((c, None) if ord(c) < 128 else (c, _pct(c)))
+            i += 1
+    return toks
+
+
+def _lit_re(ch: str) -> str:
+    return "\\" + ch if ch in _REGEX_META else ch
+
 
 def rule_to_regex(pattern: str) -> str:
     """RFC 9309 §2.2.3 rule -> regex: ``*`` matches any chars, a trailing
-    ``$`` anchors at end; everything else is literal. Valid in both
-    Python re and Java Pattern."""
+    ``$`` anchors at end; everything else is literal up to percent-
+    encoding equivalence (§2.2.2): escaped non-reserved octets and raw
+    non-ASCII chars match either encoding (escape side hex-case-
+    insensitive via a scoped (?i:) group — valid in both Python re and
+    Java Pattern); escaped RESERVED octets match only their escape form
+    (%2F is not '/')."""
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
-    parts = [
-        "".join("\\" + c if c in _REGEX_META else c for c in piece)
-        for piece in body.split("*")
-    ]
+    parts = []
+    for piece in body.split("*"):
+        out = []
+        for ch, pct in _rule_tokens(piece):
+            if pct is None:
+                out.append(_lit_re(ch))
+            elif ch is None:
+                out.append(f"(?i:{pct})")
+            else:
+                out.append(f"(?:{_lit_re(ch)}|(?i:{pct}))")
+        parts.append("".join(out))
     return "^" + ".*".join(parts) + ("$" if anchored else "")
 
 
@@ -113,16 +189,25 @@ def parse_robots_body(body: str) -> tuple[list[str], list[str], float | None]:
     return disallow, allow, delay
 
 
+def _needs_regex(p: str) -> bool:
+    """Wildcards, trailing anchor, %-escapes, or non-ASCII chars all force
+    the regex path; everything else (the overwhelmingly common case) is a
+    plain prefix matched with startswith."""
+    return (
+        "*" in p
+        or p.endswith("$")
+        or "%" in p
+        or any(ord(c) > 127 for c in p)
+    )
+
+
 def _regexes_for(rules: list[str]) -> list[str | None]:
     """Regex form per rule — or None for plain-prefix rules (no wildcard
-    chars), which the filter matches with a cheap startswith instead of
-    a per-row Pattern compile (almost all real robots rules are plain
-    prefixes; RLike only caches FOLDABLE patterns, so a regex from an
-    array element recompiles per row x rule — review r2)."""
-    return [
-        rule_to_regex(p) if ("*" in p or p.endswith("$")) else None
-        for p in rules
-    ]
+    chars, no escapes), which the filter matches with a cheap startswith
+    instead of a per-row Pattern compile (almost all real robots rules
+    are plain prefixes; RLike only caches FOLDABLE patterns, so a regex
+    from an array element recompiles per row x rule — review r2)."""
+    return [rule_to_regex(p) if _needs_regex(p) else None for p in rules]
 
 
 @pandas_udf(_RULES_SCHEMA)
