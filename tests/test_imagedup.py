@@ -44,3 +44,91 @@ def test_matches_brute_force_including_negative_hashes(spark):
 def test_recall_precondition_enforced():
     with pytest.raises(ValueError):
         phash_neardup_pairs(None, max_hamming=4, n_bands=4)
+
+
+def _components(pairs):
+    """Tiny union-find over (a, b) pairs -> frozenset of frozensets."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in pairs:
+        nodes |= {a, b}
+        parent[find(a)] = find(b)
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), set()).add(n)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_exact_prededup_bounds_degenerate_buckets(spark):
+    """The guardrail (VERDICT r2 item 8): a corpus dominated by one
+    identical phash makes the naive band join quadratic; with
+    exact_prededup=True the candidate work is bounded (band histogram
+    max -> 1 per duplicated value) and the induced clusters are
+    IDENTICAL to the naive pass."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.operators.imagedup import band_histogram
+
+    rng = random.Random(5)
+    rows = [(i, 0x0123456789ABCDEF) for i in range(200)]  # degenerate group
+    base = rng.getrandbits(64) - (1 << 63)
+    rows += [(200, base), (201, base ^ (1 << 7))]          # a true near-dup pair
+    rows += [(202 + j, rng.getrandbits(64) - (1 << 63)) for j in range(20)]
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+
+    naive = phash_neardup_pairs(df, max_hamming=3, n_bands=4)
+    guarded = phash_neardup_pairs(df, max_hamming=3, n_bands=4, exact_prededup=True)
+
+    # the naive pass pays ~200^2/2 pairs for the degenerate group alone;
+    # the guarded pass emits exactly 199 star links + rep-level pairs
+    n_naive = naive.count()
+    n_guarded = guarded.count()
+    assert n_naive >= 200 * 199 // 2
+    assert n_guarded <= 199 + 25
+
+    # guarded candidate load: after collapsing, every band bucket over the
+    # representatives is near-singleton (random hashes)
+    reps = df.groupBy("phash").agg(F.min("image_id").alias("image_id"))
+    assert band_histogram(reps, 4).agg(F.max("n")).collect()[0][0] <= 2
+
+    # same clusters either way
+    naive_c = _components((r.id_a, r.id_b) for r in naive.collect())
+    guarded_c = _components((r.id_a, r.id_b) for r in guarded.collect())
+    assert naive_c == guarded_c
+    # and the guard's 0-distance links carry true hamming 0
+    assert all(
+        r.hamming == 0
+        for r in guarded.where("id_a < 200 and id_b < 200").collect()
+    )
+
+
+def test_exact_prededup_text_guard(spark):
+    """operators.dedup_guard.exact_prededup over a text corpus: one
+    representative per identical text (min id), links for the rest, all
+    original columns preserved on the representatives."""
+    from web_scraper_spark.operators.dedup_guard import exact_prededup
+
+    rows = [(i, "common boilerplate page") for i in range(50)]
+    rows += [(100, "unique document alpha"), (101, "unique document beta"),
+             (102, "unique document alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    reps, links = exact_prededup(df, ["text"], "doc_id")
+
+    got_reps = {(r.doc_id, r.text) for r in reps.collect()}
+    assert got_reps == {
+        (0, "common boilerplate page"),
+        (100, "unique document alpha"),
+        (101, "unique document beta"),
+    }
+    got_links = {(r.id_keep, r.id_dup) for r in links.collect()}
+    assert (100, 102) in got_links
+    assert {l for l in got_links if l[0] == 0} == {(0, i) for i in range(1, 50)}
+    assert len(got_links) == 50

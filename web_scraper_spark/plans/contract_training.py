@@ -67,6 +67,38 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+# Dedup 1b — the exact pre-dedup GUARD for every LSH dedup
+# (operators/dedup_guard.py; VERDICT r2 item 8): collapse identical
+# content to min-id representatives + (keep, dup) links BEFORE banding,
+# so a degenerate corpus (g identical docs -> g^2/2 candidate pairs in
+# one bucket) costs O(g) instead. The sf corpus is duplicate-free, so
+# the query synthesizes exact dupes (every 7th doc re-appended under
+# doc_id + 1e6) to keep the check non-vacuous.
+@register(
+    "dedup_exact_guard",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    k AS (SELECT doc_id, md5(text) AS ck FROM base),
+    keeps AS (SELECT ck, min(doc_id) AS keep FROM k GROUP BY ck)
+    SELECT keep AS id_keep, doc_id AS id_dup
+    FROM k JOIN keeps USING (ck) WHERE doc_id <> keep
+    """,
+)
+def dedup_exact_guard(spark, sf_dir):
+    from web_scraper_spark.operators.dedup_guard import exact_prededup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    _, links = exact_prededup(d.unionByName(dupes), ["text"], "doc_id")
+    return links
+
+
 # Dedup 2 — MinHash + LSH candidate pairs (shingle -> 8 minhashes ->
 # band buckets -> within-bucket pair join; never all-pairs).
 #
