@@ -127,6 +127,28 @@ def test_live_crawl_with_robots_matches_oracle(spark, fixture, proxy, tmp_path):
     hosts_with_rules = {r["host"] for r in rules.collect() if r["disallow"]}
     assert hosts_with_rules == {f"acme-{i:04d}.test" for i in range(N) if i % 4 == 3}
 
+    # as-of enrichment (crawl-side asof_join consumer): every attempt is
+    # attributed to the LATEST robots snapshot with fetched_at <= its ts,
+    # cross-checked row by row against a python scan of the history
+    from web_scraper_spark.plans.report import attempts_robots_asof
+
+    log_full = SnapshotTable(spark, os.path.join(str(tmp_path), "crawl_log")).read()
+    enriched = attempts_robots_asof(log_full, rules).collect()
+    hist = [(r["host"], r["fetched_at"]) for r in rules.collect()]
+    assert enriched
+    for r in enriched:
+        prior = [at for (h, at) in hist if h == r.host and at <= r.ts]
+        assert r.robots_fetched_at == (max(prior) if prior else None), r
+        if prior:  # this fixture pre-passes every host before fetching it
+            assert r.robots_transient is False
+    # an attempt that PREDATES every snapshot gets nulls
+    from pyspark.sql import functions as F
+
+    pre = attempts_robots_asof(
+        log_full.withColumn("ts", F.lit(0.0)), rules
+    ).collect()
+    assert all(r.robots_fetched_at is None for r in pre)
+
 
 def test_live_robots_unreachable_is_transient_disallow_all(spark, tmp_path):
     """RFC 9309 2.3.1 (review r2): a timed-out robots.txt means assume

@@ -124,3 +124,32 @@ def test_match_broadcasts_query_table(spark, sf_dir):
     )
     plan = _plan(match_top1(inputs, records))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_politeness_range_single_big_shuffle(spark):
+    """assign_rounds_range must shuffle the frontier ONCE (the range
+    partitioning): local ranks come from an Arrow pass, offsets join back
+    as a broadcast — no hash re-exchange of the big table, no driver
+    collect (VERDICT r2)."""
+    from web_scraper_spark.operators.politeness import assign_rounds_range
+
+    f = spark.range(5000).select(
+        F.concat(F.lit("h"), (F.col("id") % 40).cast("string")).alias("host"),
+        F.col("id").cast("double").alias("priority"),
+        (F.col("id") % 7).cast("long").alias("seed_idx"),
+        F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("url"),
+    )
+    plan = _plan(assign_rounds_range(f, 3))
+    tree = plan.split("== Physical Plan ==", 1)[-1].split("\n\n", 1)[0].splitlines()
+    # the big-table side: MapInPandas feeds the broadcast join directly;
+    # between them (and below MapInPandas down to the range exchange)
+    # there must be no hash exchange
+    assert any("MapInPandas" in l for l in tree), tree
+    join_idx = next(i for i, l in enumerate(tree) if "BroadcastHashJoin" in l)
+    map_idx = next(i for i, l in enumerate(tree) if "MapInPandas" in l)
+    assert join_idx < map_idx, tree  # join consumes the MapInPandas side
+    assert not any(
+        "Exchange hashpartitioning" in l for l in tree[join_idx:map_idx + 1]
+    ), tree[join_idx:map_idx + 1]
+    # and the offsets side reaches the join as a broadcast, not a shuffle
+    assert any("BroadcastExchange" in l or "BroadcastQueryStage" in l for l in tree), tree

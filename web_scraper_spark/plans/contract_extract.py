@@ -116,9 +116,18 @@ def write_fixtures() -> None:
 
 # ---------------------------------------------------------------------------
 # contract queries -----------------------------------------------------------
+_EXTRACTED_CACHE: dict[int, object] = {}
+
+
 def _extracted(spark):
     """Pages fixture -> the real extract_all UDF -> one row per page with
-    pipe-joined sorted outputs (matching the golden's serialization)."""
+    pipe-joined sorted outputs (matching the golden's serialization).
+    Memoized per SparkSession (C1-C5 all project from the same UDF pass —
+    the driver runs five queries, the 176-page extraction runs once)."""
+    key = id(spark)
+    cached = _EXTRACTED_CACHE.get(key)
+    if cached is not None:
+        return cached
     from web_scraper_spark.operators.extract import extract_all
 
     pages = spark.read.parquet(PAGES_PATH)
@@ -133,7 +142,7 @@ def _extracted(spark):
     def joined(c):
         return F.array_join(F.array_sort(F.col(f"ex.{c}")), "|")
 
-    return ex.select(
+    out = ex.select(
         "page_id",
         "url",
         joined("phone_numbers").alias("phones"),
@@ -149,7 +158,9 @@ def _extracted(spark):
             ),
             "|",
         ).alias("images"),
-    )
+    ).cache()
+    _EXTRACTED_CACHE[key] = out
+    return out
 
 
 def _golden_sql(cols: str) -> str:

@@ -26,6 +26,7 @@ Scale notes (the part that matters at 10^10 URLs / 1000 executors):
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -469,8 +470,13 @@ def run_crawl(
                 F.col("depth"),
                 F.col("seed_idx"),
                 canonicalize_url(F.col("url")).alias("url"),
+                host_of(canonicalize_url(F.col("url"))).alias("host"),
                 F.spark_partition_id().alias("partition_id"),
                 (F.col("status") == 200).cast("long").alias("ok"),
+                # round wall-clock: lets the as-of robots enrichment
+                # (plans/report.py attempts_robots_asof) attribute each
+                # attempt to the rules snapshot in effect when it ran
+                F.lit(float(time.time())).alias("ts"),
             ).withColumn("attempt_no", F.row_number().over(log_w)),
             tag=None,
         )
