@@ -1300,14 +1300,21 @@ def j_date_functions(spark, sf_dir):
     )
 
 
-# IVF-style ANN (scale path; no SQL oracle — the driver records the
-# weaker rows-only check): coarse centroids = per-label elementwise
-# means, query routed to its nearest centroid, brute-force only inside
-# that list. At 10^10 vectors: centroids are a broadcast dim; the probe
-# scans one partition-pruned bucket instead of the corpus.
-@register("ann_ivf_topk")
-def ann_ivf_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+# IVF-style ANN (scale path; DuckDB oracle at ORACLES["ann_ivf_topk"]
+# below): coarse centroids = per-label elementwise means, query routed
+# to its nearest centroid(s), brute-force only inside those lists. At
+# 10^10 vectors: centroids are a broadcast dim; the probe scans nprobe
+# partition-pruned buckets instead of the corpus. nprobe is the standard
+# recall lever: a query near a Voronoi boundary finds its true
+# neighbors in the SECOND-closest list — tests/test_ivf_recall.py
+# measures recall@k against the brute-force oracle at nprobe=1 vs 2.
+def _ivf_topk(spark, sf_dir, nprobe: int):
+    return _ivf_topk_df(_t(spark, sf_dir, "embeddings"), nprobe)
+
+
+def _ivf_topk_df(e, nprobe: int):
+    """IVF probe over any (vec_id, label, embedding) DataFrame; the query
+    is vec_id 0, label = the inverted-list assignment."""
     # elementwise centroid per label
     cent = (
         e.select("label", F.posexplode("embedding").alias("i", "x"))
@@ -1323,7 +1330,7 @@ def ann_ivf_topk(spark, sf_dir):
         cent.crossJoin(F.broadcast(q))
         .select("label", cosine(F.col("centroid"), F.col("qe")).alias("sim"))
         .orderBy(F.desc("sim"), F.asc("label"))
-        .limit(1)
+        .limit(nprobe)
         .select("label")
     )
     probe = e.join(F.broadcast(target), "label", "left_semi").where(F.col("vec_id") != 0)
@@ -1337,6 +1344,16 @@ def ann_ivf_topk(spark, sf_dir):
 
     w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))  # over 5 rows only
     return top.withColumn("rank", F.row_number().over(w))
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+@register("ann_ivf_multiprobe")
+def ann_ivf_multiprobe(spark, sf_dir):
+    return _ivf_topk(spark, sf_dir, nprobe=2)
 
 
 # Iterative algorithm — k-means (Lloyd's) in pure DataFrame ops, used as
@@ -1434,7 +1451,8 @@ def _sql_centroids(src: str, key: str) -> str:
       GROUP BY {key}"""
 
 
-ORACLES["ann_ivf_topk"] = f"""
+def _sql_ivf(nprobe: int) -> str:
+    return f"""
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> x::DOUBLE) AS emb
                FROM embeddings),
@@ -1444,7 +1462,7 @@ ORACLES["ann_ivf_topk"] = f"""
       SELECT label FROM (
         SELECT c.label, {_SQL_COS.format(a="c.centroid", b="q.qe")} AS sim
         FROM cent c, q)
-      ORDER BY sim DESC, label ASC LIMIT 1),
+      ORDER BY sim DESC, label ASC LIMIT {nprobe}),
     scored AS (
       SELECT a.vec_id, a.label,
              round({_SQL_COS.format(a="a.emb", b="q.qe")}, 6) AS cos
@@ -1454,6 +1472,10 @@ ORACLES["ann_ivf_topk"] = f"""
            row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
     FROM (SELECT * FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 5)
 """
+
+
+ORACLES["ann_ivf_topk"] = _sql_ivf(1)
+ORACLES["ann_ivf_multiprobe"] = _sql_ivf(2)
 
 
 def _sql_kmeans() -> str:
