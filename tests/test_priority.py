@@ -127,3 +127,49 @@ def test_window_equals_range_property(spark):
             for r in assign_rounds(frontier, budget, "range").collect()
         }
         assert w == g, budget
+
+
+def test_range_cumcount_carry_across_arrow_batches(spark):
+    """The range scheduler's local-rank pass must carry per-host counts
+    across Arrow batch boundaries (mapInPandas splits a partition into
+    ~10k-row batches by default; at test sizes the carry path never runs
+    unless forced). Force 64-row batches over a 1,500-row hot host and
+    pin equality with the window baseline."""
+    import random
+
+    from web_scraper_spark.operators.politeness import assign_rounds
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(2000):
+        host = "hot.test" if i % 4 else f"h{rng.randrange(5)}.test"
+        rows.append(
+            (
+                f"http://{host}/p/{i}",
+                host,
+                0,
+                rng.randrange(20),
+                f"http://{host}",
+                None,
+                float(rng.randrange(3)),
+            )
+        )
+    frontier = spark.createDataFrame(
+        rows,
+        "url string, host string, depth int, seed_idx long, seed_url string, "
+        "caption string, priority double",
+    ).repartition(5)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        got = {
+            (r["url"], r["seed_idx"]): r["round_offset"]
+            for r in assign_rounds(frontier, 7, "range").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = {
+        (r["url"], r["seed_idx"]): r["round_offset"]
+        for r in assign_rounds(frontier, 7, "window").collect()
+    }
+    assert got == want

@@ -561,10 +561,13 @@ def run_crawl(
                 discovered = deduped.join(novel, "url", "left_semi").cache()
             else:
                 discovered = seen.filter_new(deduped).cache()
-        elif not discovered.isEmpty():
+        else:
             # parity mode never READS the seen set mid-crawl (F5: no
             # contact dedup), so discoveries go to an append-only log —
-            # no per-round dedup shuffle; one distinct at the end
+            # no per-round dedup shuffle; one distinct at the end.
+            # Appended UNCONDITIONALLY: a pre-write isEmpty() probe costs
+            # the same driver job as writing an empty delta, and nonempty
+            # rounds (the common case) save the probe entirely
             discovered_t.append(discovered.select("url"))
         next_depth = _with_priority(
             discovered.select(
