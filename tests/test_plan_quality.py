@@ -153,3 +153,18 @@ def test_politeness_range_single_big_shuffle(spark):
     ), tree[join_idx:map_idx + 1]
     # and the offsets side reaches the join as a broadcast, not a shuffle
     assert any("BroadcastExchange" in l or "BroadcastQueryStage" in l for l in tree), tree
+
+
+def test_no_rowwise_python_in_any_contract_plan(spark, sf_dir):
+    """Global invariant (north rule: 'all hot paths vectorized — no
+    per-row Python'): every registry query's physical plan may contain
+    Arrow-batched nodes (ArrowEvalPython / MapInPandas / FlatMapGroups*)
+    but never a row-wise BatchEvalPython."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in sorted(entry.queries().items()):
+        plan = _plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
