@@ -370,3 +370,74 @@ def test_crawl_query_string_robots_matches_oracle(spark, tmp_path):
     got = sorted((r["round"], r.depth, r.seed_idx, r.url)
                  for r in result.crawl_log.collect())
     assert got == oracle.crawl_order
+
+
+def test_agent_group_selection():
+    """RFC 9309 §2.2.1: the group naming our product token wins over the
+    * group; only when no specific group exists do * rules apply; all
+    matching groups combine; matching is case-insensitive."""
+    body = (
+        "User-agent: SparkFrontierBot\n"
+        "Disallow: /bot-only\n"
+        "Crawl-delay: 2\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /everyone\n"
+        "Crawl-delay: 9\n"
+        "\n"
+        "User-agent: sparkfrontierbot\n"
+        "Disallow: /bot-extra\n"
+    )
+    assert parse_robots_body(body, "sparkfrontierbot") == (
+        ["/bot-only", "/bot-extra"], [], 2.0,
+    )
+    assert parse_robots_body(body, "SPARKFRONTIERBOT")[0] == [
+        "/bot-only", "/bot-extra",
+    ]
+    assert parse_robots_body(body, "otherbot") == (["/everyone"], [], 9.0)
+    assert parse_robots_body(body) == (["/everyone"], [], 9.0)  # legacy default
+    # rules before any user-agent line belong to no group (RFC)
+    assert parse_robots_body("Disallow: /loose\nUser-agent: *\nDisallow: /x\n") == (
+        ["/x"], [], None,
+    )
+
+
+def test_crawl_agent_specific_robots_matches_oracle(spark, tmp_path):
+    """E2E: with robots_agent set, the engine honors the bot-specific
+    group (different from *), identically to the oracle; with the
+    default token the * group applies instead."""
+    from web_scraper_spark.oracle.simulator import simulate
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.synthetic_web import WebRow
+
+    page = (b"<html><body>"
+            b"<a href='/contact-a'>Contact us</a>"
+            b"<a href='/contact-b'>Contact us</a>"
+            b"</body></html>")
+    sub = b"<html><body><p>ok</p></body></html>"
+    robots = (b"User-agent: SparkFrontierBot\n"
+              b"Disallow: /contact-a\n"
+              b"\n"
+              b"User-agent: *\n"
+              b"Disallow: /contact-b\n")
+    web = [
+        WebRow("http://ua.test", "ua.test", 0, 200, "text/html", page),
+        WebRow("http://ua.test/contact-a", "ua.test", 1, 200, "text/html", sub),
+        WebRow("http://ua.test/contact-b", "ua.test", 1, 200, "text/html", sub),
+        WebRow("http://ua.test/robots.txt", "ua.test", 0, 200, "text/plain", robots),
+    ]
+
+    for agent, blocked in (("sparkfrontierbot", "contact-a"), ("*", "contact-b")):
+        oracle = simulate(["ua.test"], web, None, use_robots=True,
+                          robots_agent=agent)
+        fetched = [u for *_, u in oracle.crawl_order]
+        assert f"http://ua.test/{blocked}" not in fetched
+        assert len(fetched) == 2  # seed + the other contact page
+        result = run_crawl(
+            spark, ["ua.test"], _webdf(spark, web), None,
+            workdir=str(tmp_path / ("star" if agent == "*" else agent)),
+            use_robots=True, robots_agent=agent,
+        )
+        got = sorted((r["round"], r.depth, r.seed_idx, r.url)
+                     for r in result.crawl_log.collect())
+        assert got == oracle.crawl_order, agent

@@ -262,6 +262,7 @@ def simulate(
     politeness_budget: int | None = None,
     route_images: bool = True,
     use_robots: bool = False,
+    robots_agent: str = "*",
     priority_fn=None,
 ) -> OracleResult:
     web_by_canon = {canonicalize(r.url): r for r in web}
@@ -275,7 +276,9 @@ def simulate(
 
         for row in web:
             if row.url.endswith("/robots.txt") and row.status == 200:
-                disallow, allow, _delay = parse_robots_body(row.body.decode())
+                disallow, allow, _delay = parse_robots_body(
+                    row.body.decode(), robots_agent
+                )
                 robots_rules[row.host] = (disallow, allow)
 
     def robots_allows(url: str) -> bool:

@@ -175,6 +175,7 @@ def run_crawl(
     resume: bool = False,
     max_depth: int = 1,
     use_robots: bool = False,
+    robots_agent: str = "*",
     live: bool = False,
     live_proxy: str | None = None,
     live_timeout_s: float = 15.0,
@@ -228,7 +229,7 @@ def run_crawl(
         robots_pages = web.where(
             F.col("url").endswith("/robots.txt") & (F.col("status") == 200)
         ).select("host", "body")
-        robots_rules = build_rules_table(robots_pages).cache()
+        robots_rules = build_rules_table(robots_pages, robots_agent).cache()
         robots_rules.count()
 
     def _ensure_robots(df: DataFrame) -> None:
@@ -283,7 +284,8 @@ def run_crawl(
                 )
 
             got = build_rules_table(
-                fetched.where(F.col("status") == 200).select("host", "body")
+                fetched.where(F.col("status") == 200).select("host", "body"),
+                robots_agent,
             ).withColumn("transient", F.lit(False))
             unavailable = _row(
                 F.col("status").between(400, 499),

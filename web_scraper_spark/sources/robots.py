@@ -11,9 +11,11 @@ plain-prefix rules (the overwhelmingly common case; zero regex machinery
 on the hot path) and regexp_like only for rules that actually carry
 wildcards — so the 10^10-row frontier never touches Python.
 
-Honored (per RFC 9309, ``User-agent: *`` group only): ``Disallow`` and
-``Allow`` rules including ``*`` (any chars) and trailing ``$`` (end
-anchor) wildcards, longest-match-wins between the two rule sets (an
+Honored (per RFC 9309): §2.2.1 group selection — groups naming the
+crawler's product token (case-insensitive) beat the ``*`` groups, all
+matching groups combine (default token ``*`` keeps wildcard-only
+behavior) — and ``Disallow``/``Allow`` rules including ``*`` (any
+chars) and trailing ``$`` (end anchor) wildcards, longest-match-wins between the two rule sets (an
 Allow at least as specific as the best Disallow un-blocks the path —
 ties go to Allow, the least restrictive rule; specificity = octet length
 of the RULE as written, wildcards and escapes included, the common
@@ -151,14 +153,27 @@ def rule_matches(pattern: str, path: str) -> bool:
     return _re.search(rule_to_regex(pattern), path) is not None
 
 
-def parse_robots_body(body: str) -> tuple[list[str], list[str], float | None]:
-    """Parse the ``User-agent: *`` group: (disallow prefixes, allow
-    prefixes, crawl-delay)."""
+def parse_robots_groups(
+    body: str,
+) -> list[tuple[list[str], list[str], list[str], float | None]]:
+    """Parse every group: (agent product tokens lowercased, disallow
+    prefixes, allow prefixes, crawl-delay). Shared by engine and oracle —
+    the independence doctrine applies to MATCHING, not line parsing."""
+    groups: list[tuple[list[str], list[str], list[str], float | None]] = []
+    agents: list[str] = []
     disallow: list[str] = []
     allow: list[str] = []
     delay: float | None = None
-    current_agents: list[str] = []
     in_group_header = False
+    started = False
+
+    def flush():
+        nonlocal agents, disallow, allow, delay, started
+        if started:
+            groups.append((agents, disallow, allow, delay))
+        agents, disallow, allow, delay = [], [], [], None
+        started = False
+
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -168,13 +183,14 @@ def parse_robots_body(body: str) -> tuple[list[str], list[str], float | None]:
         value = value.strip()
         if key == "user-agent":
             if not in_group_header:
-                current_agents = []  # a new group starts
+                flush()  # a new group starts
             in_group_header = True
-            current_agents.append(value)
+            started = True
+            agents.append(value.lower())
             continue
         in_group_header = False
-        if "*" not in current_agents:
-            continue
+        if not started:
+            continue  # rules before any user-agent line: no group (RFC)
         if key == "disallow":
             if value:
                 disallow.append(value)
@@ -186,7 +202,45 @@ def parse_robots_body(body: str) -> tuple[list[str], list[str], float | None]:
                 delay = float(value)
             except ValueError:
                 pass
-    return disallow, allow, delay
+    flush()
+    return groups
+
+
+def select_rules(
+    groups: list[tuple[list[str], list[str], list[str], float | None]],
+    agent_token: str = "*",
+) -> tuple[list[str], list[str], float | None]:
+    """RFC 9309 §2.2.1 group selection: groups naming our product token
+    (case-insensitive exact match) win; only when NONE does do the ``*``
+    groups apply. All matching groups combine (rules concatenate; the
+    first non-null crawl-delay wins). ``agent_token='*'`` reproduces the
+    legacy wildcard-only behavior."""
+    token = (agent_token or "*").lower()
+    tiers = [token] if token != "*" else []
+    tiers.append("*")
+    for want in tiers:
+        disallow: list[str] = []
+        allow: list[str] = []
+        delay: float | None = None
+        hit = False
+        for agents, dis, alw, dly in groups:
+            if want in agents:
+                hit = True
+                disallow.extend(dis)
+                allow.extend(alw)
+                if delay is None:
+                    delay = dly
+        if hit:
+            return disallow, allow, delay
+    return [], [], None
+
+
+def parse_robots_body(
+    body: str, agent_token: str = "*"
+) -> tuple[list[str], list[str], float | None]:
+    """Parse + select: (disallow prefixes, allow prefixes, crawl-delay)
+    for ``agent_token`` per RFC 9309 §2.2.1 (default: the ``*`` group)."""
+    return select_rules(parse_robots_groups(body), agent_token)
 
 
 def _needs_regex(p: str) -> bool:
@@ -210,25 +264,35 @@ def _regexes_for(rules: list[str]) -> list[str | None]:
     return [rule_to_regex(p) if _needs_regex(p) else None for p in rules]
 
 
-@pandas_udf(_RULES_SCHEMA)
-def parse_robots(body: pd.Series) -> pd.DataFrame:
-    rows = []
-    for b in body:
-        disallow, allow, delay = parse_robots_body(b if isinstance(b, str) else "")
-        rows.append(
-            (disallow, _regexes_for(disallow), allow, _regexes_for(allow), delay)
+def _parse_robots_udf(agent_token: str):
+    @pandas_udf(_RULES_SCHEMA)
+    def parse_robots(body: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in body:
+            disallow, allow, delay = parse_robots_body(
+                b if isinstance(b, str) else "", agent_token
+            )
+            rows.append(
+                (disallow, _regexes_for(disallow), allow, _regexes_for(allow), delay)
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["disallow", "disallow_re", "allow", "allow_re", "crawl_delay"],
         )
-    return pd.DataFrame(
-        rows, columns=["disallow", "disallow_re", "allow", "allow_re", "crawl_delay"]
-    )
+
+    return parse_robots
 
 
-def build_rules_table(robots_pages: DataFrame) -> DataFrame:
+def build_rules_table(
+    robots_pages: DataFrame, agent_token: str = "*"
+) -> DataFrame:
     """``(host, body)`` -> one row per host with raw rules (for
     specificity lengths) and their precompiled regex forms (for
-    matching)."""
+    matching), selected for ``agent_token`` per RFC 9309 §2.2.1
+    (bot-specific groups beat ``*`` groups; default keeps the wildcard
+    behavior)."""
     return robots_pages.select(
-        "host", parse_robots(F.col("body").cast("string")).alias("r")
+        "host", _parse_robots_udf(agent_token)(F.col("body").cast("string")).alias("r")
     ).select(
         "host", "r.disallow", "r.disallow_re", "r.allow", "r.allow_re",
         "r.crawl_delay",
