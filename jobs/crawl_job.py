@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="range (default) is the skew-safe scheduler; window is the semantics baseline")
     p.add_argument("--use-robots", action="store_true",
                    help="robots.txt enforcement; with --live the rules are fetched per new host (pre-pass), hermetic mode reads them off the web fixture")
+    p.add_argument("--robots-agent", default="*",
+                   help="product token for RFC 9309 user-agent group selection (default '*': wildcard groups only)")
     p.add_argument("--dedup", action="store_true",
                    help="graft mode: URL-seen dedup at every depth (default mirrors the reference's duplicate-fetch semantics)")
     p.add_argument("--resume", action="store_true")
@@ -88,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         max_depth=args.max_depth,
         use_robots=args.use_robots,
+        robots_agent=args.robots_agent,
         live=args.live,
         live_proxy=args.proxy,
         live_timeout_s=args.fetch_timeout,

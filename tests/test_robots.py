@@ -441,3 +441,38 @@ def test_crawl_agent_specific_robots_matches_oracle(spark, tmp_path):
         got = sorted((r["round"], r.depth, r.seed_idx, r.url)
                      for r in result.crawl_log.collect())
         assert got == oracle.crawl_order, agent
+
+
+def test_sitemap_records(spark):
+    """Sitemap: records (RFC 9309 §2.2.4) are global — collected from
+    anywhere in the file, independent of user-agent groups — and exposed
+    both on the rules table and via discovered_sitemaps."""
+    from web_scraper_spark.sources.robots import (
+        build_rules_table, discovered_sitemaps, parse_sitemaps,
+    )
+
+    body = (
+        "Sitemap: https://s.test/sitemap.xml\n"
+        "User-agent: OtherBot\n"
+        "Disallow: /x\n"
+        "sitemap: https://s.test/sitemap-2.xml\n"  # any casing, in a group
+        "User-agent: *\n"
+        "Disallow: /y\n"
+    )
+    assert parse_sitemaps(body) == [
+        "https://s.test/sitemap.xml", "https://s.test/sitemap-2.xml",
+    ]
+    pages = spark.createDataFrame(
+        [("s.test", body.encode())], "host string, body binary"
+    )
+    rules = build_rules_table(pages)
+    row = rules.collect()[0]
+    assert row.sitemaps == [
+        "https://s.test/sitemap.xml", "https://s.test/sitemap-2.xml",
+    ]
+    assert row.disallow == ["/y"]  # group selection unaffected
+    got = {(r.host, r.sitemap_url) for r in discovered_sitemaps(rules).collect()}
+    assert got == {
+        ("s.test", "https://s.test/sitemap.xml"),
+        ("s.test", "https://s.test/sitemap-2.xml"),
+    }

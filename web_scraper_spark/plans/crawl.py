@@ -250,7 +250,7 @@ def run_crawl(
 
         hosts = df.select("host").dropDuplicates(["host"])
         known = robots_t.read()
-        if known is not None and "disallow_re" not in known.columns:
+        if known is not None and not {"disallow_re", "sitemaps"} <= set(known.columns):
             # cache written by an older rules schema: rules are cheap to
             # re-fetch, so bust the cache rather than migrate it
             robots_t.reset()
@@ -280,6 +280,7 @@ def run_crawl(
                     F.array().cast("array<string>").alias("allow"),
                     F.array().cast("array<string>").alias("allow_re"),
                     F.lit(None).cast("double").alias("crawl_delay"),
+                    F.array().cast("array<string>").alias("sitemaps"),
                     F.lit(transient).alias("transient"),
                 )
 

@@ -55,6 +55,7 @@ _RULES_SCHEMA = StructType(
         StructField("allow", ArrayType(StringType())),
         StructField("allow_re", ArrayType(StringType())),
         StructField("crawl_delay", DoubleType()),
+        StructField("sitemaps", ArrayType(StringType())),
     ]
 )
 
@@ -243,6 +244,20 @@ def parse_robots_body(
     return select_rules(parse_robots_groups(body), agent_token)
 
 
+def parse_sitemaps(body: str) -> list[str]:
+    """``Sitemap:`` records (RFC 9309 §2.2.4 "other records") — global,
+    NOT part of any user-agent group; collected wherever they appear."""
+    out: list[str] = []
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
 def _needs_regex(p: str) -> bool:
     """Wildcards, trailing anchor, %-escapes, or non-ASCII chars all force
     the regex path; everything else (the overwhelmingly common case) is a
@@ -269,15 +284,16 @@ def _parse_robots_udf(agent_token: str):
     def parse_robots(body: pd.Series) -> pd.DataFrame:
         rows = []
         for b in body:
-            disallow, allow, delay = parse_robots_body(
-                b if isinstance(b, str) else "", agent_token
-            )
+            text = b if isinstance(b, str) else ""
+            disallow, allow, delay = parse_robots_body(text, agent_token)
             rows.append(
-                (disallow, _regexes_for(disallow), allow, _regexes_for(allow), delay)
+                (disallow, _regexes_for(disallow), allow, _regexes_for(allow),
+                 delay, parse_sitemaps(text))
             )
         return pd.DataFrame(
             rows,
-            columns=["disallow", "disallow_re", "allow", "allow_re", "crawl_delay"],
+            columns=["disallow", "disallow_re", "allow", "allow_re",
+                     "crawl_delay", "sitemaps"],
         )
 
     return parse_robots
@@ -295,11 +311,22 @@ def build_rules_table(
         "host", _parse_robots_udf(agent_token)(F.col("body").cast("string")).alias("r")
     ).select(
         "host", "r.disallow", "r.disallow_re", "r.allow", "r.allow_re",
-        "r.crawl_delay",
+        "r.crawl_delay", "r.sitemaps",
     )
 
 
-RULES_COLS = ["disallow", "disallow_re", "allow", "allow_re", "crawl_delay"]
+RULES_COLS = [
+    "disallow", "disallow_re", "allow", "allow_re", "crawl_delay", "sitemaps",
+]
+
+
+def discovered_sitemaps(rules: DataFrame) -> DataFrame:
+    """(host, sitemap_url) rows from the rules table — frontier
+    candidates for a sitemap-ingest pass (graft; the reference has no
+    sitemap handling)."""
+    return rules.select(
+        "host", F.explode("sitemaps").alias("sitemap_url")
+    ).dropDuplicates(["host", "sitemap_url"])
 
 
 def _longest_match(rules_col: str, re_col: str, path):
