@@ -1,0 +1,69 @@
+"""Sitemap ingestion: XML parsing (urlset + sitemapindex, namespaced and
+bare), and rules-table -> frontier-candidate expansion over the hermetic
+fetch join."""
+
+from web_scraper_spark.sources.sitemaps import parse_sitemap_xml
+
+NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def test_parse_urlset_and_index():
+    urlset = f"""<?xml version="1.0"?>
+    <urlset {NS}>
+      <url><loc>http://s.test/a</loc><lastmod>2024-01-01</lastmod></url>
+      <url><loc> http://s.test/b </loc></url>
+      <url></url>
+    </urlset>"""
+    assert parse_sitemap_xml(urlset) == (
+        ["http://s.test/a", "http://s.test/b"], [],
+    )
+    index = f"""<sitemapindex {NS}>
+      <sitemap><loc>http://s.test/child-1.xml</loc></sitemap>
+      <sitemap><loc>http://s.test/child-2.xml</loc></sitemap>
+    </sitemapindex>"""
+    assert parse_sitemap_xml(index) == (
+        [], ["http://s.test/child-1.xml", "http://s.test/child-2.xml"],
+    )
+    # bare tags (no namespace) and malformed bodies
+    assert parse_sitemap_xml("<urlset><url><loc>http://x/p</loc></url></urlset>") == (
+        ["http://x/p"], [],
+    )
+    assert parse_sitemap_xml("not xml <<<") == ([], [])
+    assert parse_sitemap_xml("") == ([], [])
+
+
+def test_sitemap_frontier_expands_index(spark):
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from web_scraper_spark.sources.robots import build_rules_table
+    from web_scraper_spark.sources.sitemaps import sitemap_frontier
+
+    robots = (b"User-agent: *\nDisallow: /private\n"
+              b"Sitemap: http://sm.test/sitemap.xml\n")
+    index = (f'<sitemapindex {NS}>'
+             f'<sitemap><loc>http://sm.test/pages.xml</loc></sitemap>'
+             f'</sitemapindex>').encode()
+    pages_xml = (f'<urlset {NS}>'
+                 f'<url><loc>http://sm.test/p1</loc></url>'
+                 f'<url><loc>http://sm.test/p2</loc></url>'
+                 f'</urlset>').encode()
+    schema = StructType([
+        StructField("url", StringType()), StructField("host", StringType()),
+        StructField("depth", IntegerType()), StructField("status", IntegerType()),
+        StructField("content_type", StringType()), StructField("body", BinaryType()),
+    ])
+    web = spark.createDataFrame(
+        [
+            ("http://sm.test/robots.txt", "sm.test", 0, 200, "text/plain", robots),
+            ("http://sm.test/sitemap.xml", "sm.test", 0, 200, "application/xml", index),
+            ("http://sm.test/pages.xml", "sm.test", 0, 200, "application/xml", pages_xml),
+        ],
+        schema,
+    )
+    rules = build_rules_table(
+        web.where(web["url"].endswith("/robots.txt")).select("host", "body")
+    )
+    got = {(r.host, r.url) for r in sitemap_frontier(rules, web).collect()}
+    assert got == {("sm.test", "http://sm.test/p1"), ("sm.test", "http://sm.test/p2")}
