@@ -67,3 +67,55 @@ def test_sitemap_frontier_expands_index(spark):
     )
     got = {(r.host, r.url) for r in sitemap_frontier(rules, web).collect()}
     assert got == {("sm.test", "http://sm.test/p1"), ("sm.test", "http://sm.test/p2")}
+
+
+def test_crawl_ingests_sitemap_pages(spark, tmp_path):
+    """Opt-in e2e wiring: with ingest_sitemaps=True a robots-advertised
+    sitemap's pages are fetched at depth 0 (attributed to the host's
+    seed) and their extractions land in the merged record; with the
+    default False nothing changes."""
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from web_scraper_spark.plans.crawl import run_crawl
+
+    robots = (b"User-agent: *\n"
+              b"Sitemap: http://sm.test/sitemap.xml\n")
+    sm_xml = (f'<urlset {NS}>'
+              f'<url><loc>http://sm.test/deep-page</loc></url>'
+              f'</urlset>').encode()
+    seed_page = b"<html><body><p>home</p></body></html>"
+    deep_page = (b"<html><body>"
+                 b"<a href='tel:+1 (212) 555-0042'>call</a>"
+                 b"</body></html>")
+    schema = StructType([
+        StructField("url", StringType()), StructField("host", StringType()),
+        StructField("depth", IntegerType()), StructField("status", IntegerType()),
+        StructField("content_type", StringType()), StructField("body", BinaryType()),
+    ])
+    web = spark.createDataFrame(
+        [
+            ("http://sm.test", "sm.test", 0, 200, "text/html", seed_page),
+            ("http://sm.test/robots.txt", "sm.test", 0, 200, "text/plain", robots),
+            ("http://sm.test/sitemap.xml", "sm.test", 0, 200, "application/xml", sm_xml),
+            ("http://sm.test/deep-page", "sm.test", 1, 200, "text/html", deep_page),
+        ],
+        schema,
+    )
+
+    plain = run_crawl(
+        spark, ["sm.test"], web, None,
+        workdir=str(tmp_path / "plain"), use_robots=True,
+    )
+    assert {r.url for r in plain.crawl_log.collect()} == {"http://sm.test"}
+
+    ingested = run_crawl(
+        spark, ["sm.test"], web, None,
+        workdir=str(tmp_path / "sm"), use_robots=True, ingest_sitemaps=True,
+    )
+    assert {r.url for r in ingested.crawl_log.collect()} == {
+        "http://sm.test", "http://sm.test/deep-page",
+    }
+    rec = {r.domain: r.phone_numbers for r in ingested.company_records.collect()}
+    assert rec["sm.test"] == ["+12125550042"]  # tel: href, B8-cleaned

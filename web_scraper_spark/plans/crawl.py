@@ -176,6 +176,7 @@ def run_crawl(
     max_depth: int = 1,
     use_robots: bool = False,
     robots_agent: str = "*",
+    ingest_sitemaps: bool = False,
     live: bool = False,
     live_proxy: str | None = None,
     live_timeout_s: float = 15.0,
@@ -409,6 +410,37 @@ def run_crawl(
                   discovered_t, seen.table, robots_t):
             t.reset()
         seeds_df = _with_priority(_seed_frontier(spark, seeds), priority_expr).cache()
+        if ingest_sitemaps and robots_rules is not None and web is not None:
+            # graft: robots-advertised sitemaps seed extra depth-0 pages,
+            # attributed to the seed of the SAME host (hosts with no seed
+            # are out of crawl scope and drop in the inner join); dedup
+            # against the seeds keeps the seed rows' identity stable
+            from web_scraper_spark.sources.sitemaps import sitemap_frontier
+
+            sm = sitemap_frontier(robots_rules, web).withColumnRenamed(
+                "url", "sm_url"
+            )
+            extra = (
+                seeds_df.select("host", "seed_idx", "seed_url")
+                .join(sm, "host")
+                .join(
+                    seeds_df.select(F.col("url").alias("sm_url")),
+                    "sm_url",
+                    "left_anti",
+                )
+                .select(
+                    F.col("sm_url").alias("url"),
+                    "host",
+                    F.lit(0).cast("int").alias("depth"),
+                    "seed_idx",
+                    "seed_url",
+                    F.lit(None).cast("string").alias("caption"),
+                )
+                .dropDuplicates(["url"])
+            )
+            seeds_df = seeds_df.unionByName(
+                _with_priority(extra, priority_expr)
+            ).cache()
         if dedup_contacts:
             if approx_seen:
                 # discovered-log append BEFORE the filter insert: a crash
