@@ -176,6 +176,55 @@ class SnapshotTable:
         if manifest["current"] is not None:
             self._commit([], self.RESET_TAG, manifest)
 
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files`` analog:
+        retain the newest ``keep_last`` snapshots plus the snapshot of
+        the currently-VISIBLE tag (the one ``last_tag``/resume would use
+        — preserving it through the same reset-barrier logic, so an
+        expired history can never resurrect a pre-reset tag), rewrite the
+        manifest, then delete data directories referenced only by expired
+        snapshots. Returns the number of directories deleted.
+
+        Crash-safe in the same sense as every commit here: the manifest
+        rename happens BEFORE any deletion, so a crash mid-delete leaves
+        unreferenced orphan dirs, never a dangling snapshot. Directories
+        never referenced by any snapshot (in-flight ``write_data``
+        output) are left alone. Single-writer assumption, as everywhere
+        in this class."""
+        import shutil
+
+        manifest = self._read_manifest()
+        if manifest["current"] is None:
+            return 0
+        snaps = [
+            s for s in manifest["snapshots"] if s["id"] <= manifest["current"]
+        ]
+        keep = list(snaps[-max(keep_last, 1):])
+        visible_tag = self.last_tag()
+        if visible_tag is not None:
+            tagged = next(
+                s for s in reversed(snaps) if s["tag"] == visible_tag
+            )
+            if tagged["id"] not in {k["id"] for k in keep}:
+                keep.append(tagged)
+        keep_ids = {s["id"] for s in keep}
+        keep_dirs = {d for s in keep for d in s["dirs"]}
+        expired_dirs = sorted(
+            {d for s in snaps if s["id"] not in keep_ids for d in s["dirs"]}
+            - keep_dirs
+        )
+        new_manifest = {
+            "snapshots": sorted(keep, key=lambda s: s["id"]),
+            "current": manifest["current"],
+        }
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(tmp, self._manifest_path)
+        for d in expired_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return len(expired_dirs)
+
     def compact(self, dedup_cols: list[str] | None = None) -> None:
         """Rewrite the current snapshot as one directory (the Iceberg
         analogue is rewrite_data_files). Call between crawl epochs.
