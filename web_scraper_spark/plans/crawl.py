@@ -182,6 +182,7 @@ def run_crawl(
     live_timeout_s: float = 15.0,
     priority_expr=None,
     seen_mode: str = "exact",
+    expire_history: bool = True,
 ) -> CrawlResult:
     """Run (or resume) the full crawl. ``dedup_contacts=False`` mirrors
     the reference's duplicate-fetch behavior (SURVEY.md F5); True enables
@@ -659,6 +660,16 @@ def run_crawl(
     for t in (log_t, extracted_t, discovered_t):
         t.compact()
     seen.compact()
+    if expire_history:
+        # reclaim expired history + its data dirs (Iceberg
+        # expire_snapshots analog): every returned DataFrame reads a
+        # CURRENT snapshot and the frontier's visible resume tag is
+        # preserved, so nothing observable changes — only disk. At
+        # hundreds of politeness rounds the consumed round dirs are the
+        # dominant leftover storage.
+        for t in (frontier_t, log_t, extracted_t, discovered_t,
+                  images_t, records_t, robots_t, seen.table):
+            t.expire_snapshots(keep_last=1)
 
     # ---- one-shot records MERGE over the full extracted log ------------
     all_extracted = extracted_t.read()
