@@ -1215,6 +1215,37 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+# CUBE — all four grouping combinations in one pass (vs ROLLUP's
+# prefix-only subtotals); the coalesce('ALL') trick disambiguates null
+# grouping keys identically on both engines.
+@register(
+    "q_cube_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           round(sum(l_extendedprice), 2)::DOUBLE AS total,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "total",
+            "n",
+        )
+    )
+
+
 # Window frames — per-customer trailing-3 moving SUM + running total.
 # (Sums, not averages: the inputs are 2-decimal-quantized, so sums never
 # sit on a round-2 half-cent boundary, while avg's /3 landed one row of
