@@ -188,8 +188,14 @@ def run_crawl(
     the reference's duplicate-fetch behavior (SURVEY.md F5); True enables
     the graft's full URL-seen dedup at every depth. ``live=True`` swaps
     the hermetic fetch-join for the real threaded fetcher (same
-    interface; per-host crawl delays come from the robots rules) — never
-    exercised in CI (no network in this sandbox)."""
+    interface; per-host crawl delays ride the frontier as a column from
+    the robots rules) — exercised through the loopback proxy in CI.
+    ``robots_agent``: RFC 9309 §2.2.1 product token (default '*' =
+    wildcard groups only). ``ingest_sitemaps=True``: robots-advertised
+    sitemap pages join the depth-0 frontier (hermetic mode only — a live
+    crawl learns rules per depth, after staging). ``expire_history``:
+    trim every table to its current snapshot (+ the frontier's resume
+    tag) on completion."""
     frontier_t = SnapshotTable(spark, os.path.join(workdir, "frontier"))
     log_t = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
     extracted_t = SnapshotTable(spark, os.path.join(workdir, "extracted_log"))
