@@ -76,6 +76,26 @@ if job == "extract":
     best = measure(run)
     print(json.dumps({"job": job, "cpus": cpus, "items": n_pages, "sec": best,
                       "per_sec": n_pages / best}))
+elif job == "politeness":
+    # the r3 single-shuffle range scheduler: 3M-row frontier, hot-host
+    # skew (20% on one host), budget 16 — range shuffle + Arrow cumcount
+    # + broadcast offsets
+    n_rows = 3_000_000
+    from web_scraper_spark.operators.politeness import assign_rounds
+    frontier = spark.range(n_rows).select(
+        F.when(F.col("id") % 5 == 0, F.lit("hot.test")).otherwise(
+            F.concat(F.lit("h"), (F.col("id") % 20000).cast("string"), F.lit(".test"))
+        ).alias("host"),
+        (F.col("id") % 7).cast("double").alias("priority"),
+        (F.col("id") % 97).cast("long").alias("seed_idx"),
+        F.concat(F.lit("http://x/p/"), F.col("id").cast("string")).alias("url"),
+    ).repartition(64).cache()
+    frontier.count()
+    def run():
+        assert assign_rounds(frontier, 16, "range").count() == n_rows
+    best = measure(run)
+    print(json.dumps({"job": job, "cpus": cpus, "items": n_rows, "sec": best,
+                      "per_sec": n_rows / best}))
 else:
     m_urls = 3_000_000
     from web_scraper_spark.operators.seen import BloomURLSeenSet
