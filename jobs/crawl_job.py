@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="robots.txt enforcement; with --live the rules are fetched per new host (pre-pass), hermetic mode reads them off the web fixture")
     p.add_argument("--robots-agent", default="*",
                    help="product token for RFC 9309 user-agent group selection (default '*': wildcard groups only)")
+    p.add_argument("--sitemaps", action="store_true",
+                   help="seed robots-advertised sitemap pages at depth 0 (hermetic mode)")
     p.add_argument("--dedup", action="store_true",
                    help="graft mode: URL-seen dedup at every depth (default mirrors the reference's duplicate-fetch semantics)")
     p.add_argument("--resume", action="store_true")
@@ -91,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         max_depth=args.max_depth,
         use_robots=args.use_robots,
         robots_agent=args.robots_agent,
+        ingest_sitemaps=args.sitemaps,
         live=args.live,
         live_proxy=args.proxy,
         live_timeout_s=args.fetch_timeout,
