@@ -1709,3 +1709,65 @@ def q22_idle_customers(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank — the canonical frontier-priority signal (operators/pagerank.py:
+# iterative power method, dangling mass redistributed, localCheckpoint per
+# iteration). Like ann_ivf_kmeans, the fixed 3 iterations unroll into
+# chained DuckDB CTEs. The link graph derives deterministically from
+# doc_ids (two affine out-edges per doc into the 0..499 core, self-loops
+# dropped) so both engines build the identical graph at every sf.
+def _sql_pagerank() -> str:
+    edges = """SELECT src, dst FROM (
+        SELECT doc_id AS src, (doc_id*31+7) % 500 AS dst FROM documents
+        UNION
+        SELECT doc_id, (doc_id*17+3) % 500 FROM documents) WHERE src <> dst"""
+    ctes = [
+        "v AS (SELECT doc_id AS id FROM documents)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM v)",
+        f"e AS ({edges})",
+        "deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT id, 1.0/nn.n AS rank FROM v, nn)",
+    ]
+    for i in range(1, 4):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""d{i} AS (SELECT coalesce(sum(rank), 0) AS dm
+            FROM {p} WHERE id NOT IN (SELECT src FROM deg))"""
+        )
+        ctes.append(
+            f"""inc{i} AS (SELECT e.dst AS id, sum(r.rank / deg.deg) AS inc
+            FROM e JOIN {p} r ON r.id = e.src JOIN deg ON deg.src = e.src
+            GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{i} AS (SELECT v.id,
+            0.15/nn.n + 0.85*(coalesce(inc{i}.inc, 0) + d{i}.dm/nn.n) AS rank
+            FROM v CROSS JOIN nn CROSS JOIN d{i}
+            LEFT JOIN inc{i} ON inc{i}.id = v.id)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT id AS doc_id, round(rank, 8) AS rank FROM r3"
+    )
+
+
+@register("doc_pagerank", _sql_pagerank())
+def doc_pagerank(spark, sf_dir):
+    from web_scraper_spark.operators.pagerank import pagerank
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    e1 = d.select(
+        F.col("id").alias("src"), ((F.col("id") * 31 + 7) % 500).alias("dst")
+    )
+    e2 = d.select(
+        F.col("id").alias("src"), ((F.col("id") * 17 + 3) % 500).alias("dst")
+    )
+    edges = (
+        e1.unionByName(e2)
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    r = pagerank(d, edges, iterations=3)
+    return r.select(F.col("id").alias("doc_id"), F.round("rank", 8).alias("rank"))
