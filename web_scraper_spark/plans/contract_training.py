@@ -1771,3 +1771,45 @@ def doc_pagerank(spark, sf_dir):
     )
     r = pagerank(d, edges, iterations=3)
     return r.select(F.col("id").alias("doc_id"), F.round("rank", 8).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs sharing any word n-gram
+# with a benchmark/eval set (the standard leakage gate in LLM data
+# pipelines; real deployments use n in 8..13 — this synthetic word-soup
+# corpus only collides at n=3, so the contract pins the machinery at
+# n=3 and n stays a parameter). Scale shape: benchmark grams hash to a
+# small distinct set (broadcast); the corpus explodes to (doc_id,
+# gram-hash) and semi-joins it — one shuffle for the per-doc counts,
+# never doc-by-benchmark pairs.
+@register(
+    "decontaminate_ngrams",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               [array_to_string(words[i:i+2], ' ')
+                for i in range(1, greatest(len(words) - 1, 2))],
+               s -> {_SQL_H60.format("s")} % {_MERSENNE})) AS gh
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
+    ),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+    SELECT doc_id, count(DISTINCT gh) AS shared_grams
+    FROM g JOIN bench USING (gh)
+    WHERE doc_id % 97 <> 0
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_ngrams(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    grams = F.transform(_shingles(_words(F.col("text"))), lambda s: hash60(s) % _MERSENNE)
+    g = d.select("doc_id", F.explode(grams).alias("gh"))
+    bench = (
+        g.where(F.col("doc_id") % 97 == 0).select("gh").dropDuplicates(["gh"])
+    )
+    return (
+        g.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh").alias("shared_grams"))
+    )
