@@ -173,3 +173,46 @@ def test_range_cumcount_carry_across_arrow_batches(spark):
         for r in assign_rounds(frontier, 7, "window").collect()
     }
     assert got == want
+
+
+def test_pagerank_priorities_drive_crawl(spark, tmp_path):
+    """Integration: operators/pagerank output feeds run_crawl's
+    priority_expr — link-rank-ordered politeness drains, identical in
+    engine and oracle (the frontier-priority loop closed end to end)."""
+    from web_scraper_spark.functions.urls import canonicalize_url
+    from web_scraper_spark.oracle.simulator import canonicalize
+    from web_scraper_spark.operators.pagerank import pagerank
+
+    seeds, web = build_web(10)
+    base = simulate(seeds, web, None, politeness_budget=1)
+
+    # deterministic URL link graph over everything the crawl can see
+    vs = sorted(base.url_seen)
+    n = len(vs)
+    v = spark.createDataFrame([(u,) for u in vs], "id string")
+    e = spark.createDataFrame(
+        [(vs[i], vs[(i * 7 + 3) % n]) for i in range(n) if (i * 7 + 3) % n != i],
+        "src string, dst string",
+    )
+    rank_map = {r.id: r.rank for r in pagerank(v, e, iterations=3).collect()}
+
+    def oracle_priority(url, host, depth, seed_idx):
+        return -rank_map.get(canonicalize(url), 0.0)
+
+    mapping = F.create_map(*[F.lit(x) for kv in rank_map.items() for x in kv])
+
+    def engine_priority(df):
+        return -F.coalesce(
+            mapping[canonicalize_url(F.col("url"))], F.lit(0.0)
+        )
+
+    oracle = simulate(seeds, web, None, politeness_budget=1,
+                      priority_fn=oracle_priority)
+    assert oracle.crawl_order != base.crawl_order  # ranks really reorder
+    result = run_crawl(
+        spark, seeds, web_host_df(spark, 10), None,
+        workdir=str(tmp_path), politeness_budget=1,
+        priority_expr=engine_priority,
+    )
+    got = sorted(tuple(r) for r in result.crawl_log.collect())
+    assert got == oracle.crawl_order
