@@ -130,7 +130,11 @@ def run(cpus: int, job: str) -> dict:
 
 def main() -> None:
     results: dict = {}
-    ladders = {"extract": (1, 2, 4, 8, 32), "bloom": (2, 8, 32)}
+    ladders = {
+        "extract": (1, 2, 4, 8, 32),
+        "bloom": (2, 8, 32),
+        "politeness": (2, 8, 32),
+    }
     for job, ladder in ladders.items():
         levels = {c: run(c, job) for c in ladder}
         entry = {
