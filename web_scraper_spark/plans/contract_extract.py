@@ -116,15 +116,18 @@ def write_fixtures() -> None:
 
 # ---------------------------------------------------------------------------
 # contract queries -----------------------------------------------------------
-_EXTRACTED_CACHE: dict[int, object] = {}
+_EXTRACTED_CACHE: dict[str, object] = {}
 
 
 def _extracted(spark):
     """Pages fixture -> the real extract_all UDF -> one row per page with
     pipe-joined sorted outputs (matching the golden's serialization).
     Memoized per SparkSession (C1-C5 all project from the same UDF pass —
-    the driver runs five queries, the 176-page extraction runs once)."""
-    key = id(spark)
+    the driver runs five queries, the 176-page extraction runs once).
+    Keyed on applicationId, not id(spark): a stopped session's id() can be
+    reused by a new one, handing out a DataFrame bound to a dead context
+    (ADVICE r3)."""
+    key = spark.sparkContext.applicationId
     cached = _EXTRACTED_CACHE.get(key)
     if cached is not None:
         return cached

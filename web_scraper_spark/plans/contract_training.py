@@ -1468,6 +1468,81 @@ def ann_ivf_kmeans(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(w))
 
 
+# IVF at scale (VERDICT r3 item 5): the raw embeddings table is only 500
+# rows at sf0.01, so k-means quantized a corpus barely bigger than K. This
+# query expands the corpus 16x IN-QUERY with exact binary-fraction
+# perturbations (multiples of 0.25 — no cross-engine float drift), then
+# runs the full trained-quantizer pipeline on ~8,000 vectors: K=8 seeds
+# from 8 DISTINCT base vectors, 2 Lloyd iterations, nprobe=2 multiprobe,
+# top-5. Scale shape is unchanged: assignments shuffle only as K centroids,
+# centroids broadcast back, probe scans 2 partition-pruned buckets.
+@register("ann_ivf_scaled")
+def ann_ivf_scaled(spark, sf_dir):
+    from pyspark.sql import Window
+
+    K = 8
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reps = spark.range(16).select(F.col("id").cast("int").alias("r"))
+    e = base.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") * 16 + F.col("r")).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double)"
+            " + ((r * i) % 8) * 0.25d)"
+        ).alias("embedding"),
+    )
+
+    def assign(df, cents):
+        j = df.crossJoin(F.broadcast(cents))
+        d2 = F.aggregate(
+            F.zip_with(F.col("embedding"), F.col("centroid"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            j.withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+
+    # seeds: replica 0 of the first K ORIGINAL vectors (distinct bases,
+    # not K perturbations of one vector)
+    cents = e.where((F.col("vec_id") % 16 == 0) & (F.col("vec_id") < 16 * K)).select(
+        (F.col("vec_id") / 16).cast("int").alias("cid"),
+        F.col("embedding").alias("centroid"),
+    )
+    for _ in range(2):  # Lloyd iterations (oracle unrolls the same 2)
+        assigned = assign(e, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("cs"))
+            .select("cid", F.transform(F.col("cs"), lambda s: s["c"]).alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    qcids = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", cosine(F.col("centroid"), F.col("qe")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("cid"))
+        .limit(2)  # multiprobe
+        .select("cid")
+    )
+    members = assign(e, cents).join(F.broadcast(qcids), "cid", "left_semi")
+    scored = (
+        members.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"))
+    )
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(5)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 # DuckDB oracles for the two IVF queries. Elementwise centroid means are
 # computed by zipping parallel unnests (value, 1-based position) and
 # re-assembling with an ordered list() aggregate; FP-order differences
@@ -1559,6 +1634,57 @@ def _sql_kmeans() -> str:
 
 
 ORACLES["ann_ivf_kmeans"] = _sql_kmeans()
+
+
+def _sql_ivf_scaled() -> str:
+    """ann_ivf_scaled: 16x in-query corpus expansion (exact 0.25-step
+    perturbations), K=8 seeded from replica 0 of the first 8 base vectors,
+    2 unrolled Lloyd iterations, nprobe=2 probe, top-5."""
+    d2 = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i])))"
+    )
+    assign = """
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2} ASC, c.cid ASC) AS rn
+        FROM e, {cents} c)
+      WHERE rn = 1"""
+    ctes = [
+        """e AS (
+          SELECT b.vec_id * 16 + r.r AS vec_id,
+                 list_transform(range(1, len(b.embedding) + 1),
+                                i -> b.embedding[i]::DOUBLE
+                                     + ((r.r * (i - 1)) % 8) * 0.25) AS emb
+          FROM embeddings b, (SELECT unnest(range(0, 16)) AS r) r)""",
+        "c0 AS (SELECT (vec_id // 16)::INT AS cid, emb AS centroid "
+        "FROM e WHERE vec_id % 16 = 0 AND vec_id < 128)",
+    ]
+    for it in range(1, 3):
+        ctes.append(f"a{it} AS ({assign.format(d2=d2, cents=f'c{it - 1}')})")
+        ctes.append(f"c{it} AS ({_sql_centroids(f'a{it}', 'cid')})")
+    ctes.append("q AS (SELECT emb AS qe FROM e WHERE vec_id = 0)")
+    ctes.append(f"""qcid AS (
+      SELECT cid FROM (
+        SELECT c.cid, {_SQL_COS.format(a="c.centroid", b="q.qe")} AS sim
+        FROM c2 c, q)
+      ORDER BY sim DESC, cid ASC LIMIT 2)""")
+    ctes.append(f"a3 AS ({assign.format(d2=d2, cents='c2')})")
+    ctes.append(f"""scored AS (
+      SELECT m.vec_id, round({_SQL_COS.format(a="m.emb", b="q.qe")}, 6) AS cos
+      FROM a3 m JOIN qcid ON m.cid = qcid.cid, q
+      WHERE m.vec_id <> 0)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+    SELECT vec_id, cos,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM (SELECT * FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 5)
+    """
+    )
+
+
+ORACLES["ann_ivf_scaled"] = _sql_ivf_scaled()
 
 
 # ---------------------------------------------------------------------------

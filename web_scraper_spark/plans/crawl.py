@@ -43,7 +43,7 @@ from web_scraper_spark.functions.urls import (
 )
 from web_scraper_spark.operators.extract import extract_all
 from web_scraper_spark.operators.images import land_images
-from web_scraper_spark.operators.politeness import assign_rounds
+from web_scraper_spark.operators.politeness import assign_rounds, release_rounds
 from web_scraper_spark.operators.seen import URLSeenSet
 from web_scraper_spark.sources.fetch import fetch_join
 from web_scraper_spark.sources.tables import SnapshotTable, merge_company_records
@@ -367,6 +367,10 @@ def run_crawl(
             _robots_filter(df), politeness_budget, politeness_method
         )
         path = frontier_t.write_data(assigned, partition_by=["round_offset"])
+        # the depth's frontier is durable in parquet now — free the
+        # scheduler's checkpoint blocks so a many-depth crawl never
+        # accumulates pinned frontier copies (VERDICT r3 nit)
+        release_rounds(assigned)
         out: dict[int, str] = {}
         for name in os.listdir(path):
             if name.startswith("round_offset="):
@@ -427,8 +431,21 @@ def run_crawl(
             sm = sitemap_frontier(robots_rules, web).withColumnRenamed(
                 "url", "sm_url"
             )
+            # deterministic representative seed per host: min seed_idx
+            # (ADVICE r3 — the plain host join fanned each sitemap URL out
+            # to every seed of the host and dropDuplicates kept an
+            # arbitrary row, breaking ordered-parity reproducibility)
+            host_seed = (
+                seeds_df.groupBy("host")
+                .agg(
+                    F.min_by(
+                        F.struct("seed_idx", "seed_url"), F.col("seed_idx")
+                    ).alias("_rep")
+                )
+                .select("host", F.col("_rep.seed_idx"), F.col("_rep.seed_url"))
+            )
             extra = (
-                seeds_df.select("host", "seed_idx", "seed_url")
+                host_seed
                 .join(sm, "host")
                 .join(
                     seeds_df.select(F.col("url").alias("sm_url")),

@@ -96,13 +96,15 @@ def sitemap_frontier(
     )
     pages = None
     parse = _parse_udf()
+    cached_levels = []
     for _ in range(max_index_depth + 1):
         parsed = (
             _fetch_bodies(todo, web)
             .select("host", parse(F.col("body")).alias("p"))
             .select("host", "p.page_urls", "p.child_sitemaps")
-            .cache()
+            .cache()  # consumed twice (pages + child todo); released below
         )
+        cached_levels.append(parsed)
         batch = parsed.select(
             "host", F.explode("page_urls").alias("url")
         ).dropDuplicates(["host", "url"])
@@ -112,4 +114,11 @@ def sitemap_frontier(
         ).dropDuplicates(["host", "url"])
         if todo.isEmpty():
             break
-    return pages.dropDuplicates(["host", "url"]) if pages is not None else todo
+    out = pages.dropDuplicates(["host", "url"]) if pages is not None else todo
+    # materialize the result off the cached lineage, then release every
+    # level's cache — long-lived sessions were leaking one cached plan per
+    # index-expansion level per call (ADVICE r3)
+    out = out.localCheckpoint(eager=True)
+    for parsed in cached_levels:
+        parsed.unpersist()
+    return out

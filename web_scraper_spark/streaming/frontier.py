@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from web_scraper_spark.functions.urls import host_of, prepare_url, strip_ws
-from web_scraper_spark.operators.politeness import assign_rounds
+from web_scraper_spark.operators.politeness import assign_rounds, release_rounds
 from web_scraper_spark.sources.tables import SnapshotTable
 from web_scraper_spark.streaming.dedup import dedup_stream
 
@@ -64,6 +64,7 @@ def ingest_seed_stream(
         ).withColumn("priority", F.col("seed_idx").cast("double"))
         assigned = assign_rounds(frontier, politeness_budget)
         table.append(assigned, tag=f"batch-{batch_id}")
+        release_rounds(assigned)
 
     return (
         novel.writeStream.foreachBatch(land)
