@@ -35,9 +35,12 @@ TRIALS = 3
 WORKER = r"""
 import json, sys, time, tempfile, shutil
 cpus = int(sys.argv[1]); job = sys.argv[2]; trials = int(sys.argv[3])
+local_dir = sys.argv[4] if len(sys.argv) > 4 else ""
+extra = {"spark.local.dir": local_dir} if local_dir else None
 from web_scraper_spark.session import get_spark
 from pyspark.sql import functions as F
-spark = get_spark("scale", master=f"local[{cpus}]", shuffle_partitions=32)
+spark = get_spark("scale", master=f"local[{cpus}]", shuffle_partitions=32,
+                  extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 
 def measure(fn):
@@ -116,9 +119,12 @@ spark.stop()
 """
 
 
-def run(cpus: int, job: str) -> dict:
+def run(cpus: int, job: str, local_dir: str = "") -> dict:
+    args = [sys.executable, "-c", WORKER, str(cpus), job, str(TRIALS)]
+    if local_dir:
+        args.append(local_dir)
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), job, str(TRIALS)],
+        args,
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -130,13 +136,21 @@ def run(cpus: int, job: str) -> dict:
 
 def main() -> None:
     results: dict = {}
-    ladders = {
-        "extract": (1, 2, 4, 8, 32),
-        "bloom": (2, 8, 32),
-        "politeness": (2, 8, 32),
-    }
-    for job, ladder in ladders.items():
-        levels = {c: run(c, job) for c in ladder}
+    # (job key, worker job name, spark.local.dir override). The _tmpfs
+    # politeness rep isolates single-disk shuffle bandwidth from scheduler
+    # cost (VERDICT r3 item 7): if RAM-backed shuffle recovers the 8->32
+    # efficiency, the flat step was disk-bound — on a real cluster shuffle
+    # I/O scales with node count, so the cluster claim holds.
+    tmpfs = "/dev/shm/spark-scale" if os.path.isdir("/dev/shm") else ""
+    ladders = [
+        ("extract", "extract", (1, 2, 4, 8, 32), ""),
+        ("bloom", "bloom", (2, 8, 32), ""),
+        ("politeness", "politeness", (2, 8, 32), ""),
+    ]
+    if tmpfs:
+        ladders.append(("politeness_tmpfs", "politeness", (2, 8, 32), tmpfs))
+    for job, worker_job, ladder, local_dir in ladders:
+        levels = {c: run(c, worker_job, local_dir) for c in ladder}
         entry = {
             "per_sec": {str(c): round(levels[c]["per_sec"], 1) for c in levels},
             "sec": {str(c): round(levels[c]["sec"], 2) for c in levels},

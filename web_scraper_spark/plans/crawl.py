@@ -94,6 +94,39 @@ def _seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
     )
 
 
+def _seed_frontier_from_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Handoff from the streaming ingest (streaming/frontier.py): the
+    landed frontier SnapshotTable becomes the batch crawl's depth-0 seed
+    set. URLs arrive already prepared + cross-batch deduped; acceptance
+    order (the crawl's ``seed_idx`` ordering invariant) is re-derived
+    deterministically as (ingest batch, url) — within a micro-batch the
+    file stream has no row order, so (batch, url) is the finest
+    deterministic order the stream can guarantee. Parity with a direct
+    ``seeds`` list therefore holds when the direct list enumerates each
+    batch's URLs in lexicographic order (pinned by
+    tests/test_streaming_frontier.py)."""
+    from pyspark.sql import Window
+
+    t = SnapshotTable(spark, table_path)
+    df = t.read()
+    if df is None:
+        raise ValueError(f"seed_table {table_path!r} has no committed snapshot")
+    w = Window.orderBy(F.asc("_batch"), F.asc("url"))  # _batch = ingest batch_id
+    return (
+        df.select("url", "host", F.col("seed_idx").alias("_batch"))
+        .dropDuplicates(["url"])
+        .withColumn("seed_idx", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .select(
+            "url",
+            "host",
+            F.lit(0).cast("int").alias("depth"),
+            "seed_idx",
+            F.col("url").alias("seed_url"),
+            F.lit(None).cast("string").alias("caption"),
+        )
+    )
+
+
 def _with_priority(df: DataFrame, priority_expr) -> DataFrame:
     """Attach the frontier's priority column (the priority-queue
     dimension; lower drains first). Default = seed_idx, i.e. the
@@ -183,6 +216,7 @@ def run_crawl(
     priority_expr=None,
     seen_mode: str = "exact",
     expire_history: bool = True,
+    seed_table: str | None = None,
 ) -> CrawlResult:
     """Run (or resume) the full crawl. ``dedup_contacts=False`` mirrors
     the reference's duplicate-fetch behavior (SURVEY.md F5); True enables
@@ -195,7 +229,10 @@ def run_crawl(
     sitemap pages join the depth-0 frontier (hermetic mode only — a live
     crawl learns rules per depth, after staging). ``expire_history``:
     trim every table to its current snapshot (+ the frontier's resume
-    tag) on completion."""
+    tag) on completion. ``seed_table``: path to a streaming-ingested
+    frontier SnapshotTable (streaming/frontier.ingest_seed_stream) to
+    seed from instead of the ``seeds`` list — the batch half of the
+    stream-to-crawl handoff."""
     frontier_t = SnapshotTable(spark, os.path.join(workdir, "frontier"))
     log_t = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
     extracted_t = SnapshotTable(spark, os.path.join(workdir, "extracted_log"))
@@ -420,7 +457,12 @@ def run_crawl(
         for t in (frontier_t, log_t, extracted_t, records_t, images_t,
                   discovered_t, seen.table, robots_t):
             t.reset()
-        seeds_df = _with_priority(_seed_frontier(spark, seeds), priority_expr).cache()
+        seeds_df = _with_priority(
+            _seed_frontier_from_table(spark, seed_table)
+            if seed_table is not None
+            else _seed_frontier(spark, seeds),
+            priority_expr,
+        ).cache()
         if ingest_sitemaps and robots_rules is not None and web is not None:
             # graft: robots-advertised sitemaps seed extra depth-0 pages,
             # attributed to the seed of the SAME host (hosts with no seed
