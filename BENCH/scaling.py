@@ -84,7 +84,7 @@ elif job == "politeness":
     # skew (20% on one host), budget 16 — range shuffle + Arrow cumcount
     # + broadcast offsets
     n_rows = 3_000_000
-    from web_scraper_spark.operators.politeness import assign_rounds
+    from web_scraper_spark.operators.politeness import assign_rounds, release_rounds
     frontier = spark.range(n_rows).select(
         F.when(F.col("id") % 5 == 0, F.lit("hot.test")).otherwise(
             F.concat(F.lit("h"), (F.col("id") % 20000).cast("string"), F.lit(".test"))
@@ -95,7 +95,13 @@ elif job == "politeness":
     ).repartition(64).cache()
     frontier.count()
     def run():
-        assert assign_rounds(frontier, 16, "range").count() == n_rows
+        # each trial pays the full fresh-state cost (checkpoint + rank +
+        # release), matching what one crawl depth pays — the r3 cache()
+        # form let trials 2-3 hit trial 1's cache via the CacheManager's
+        # canonical-plan lookup, flattering min-of-3 by ~2.5x
+        out = assign_rounds(frontier, 16, "range")
+        assert out.count() == n_rows
+        release_rounds(out)
     best = measure(run)
     print(json.dumps({"job": job, "cpus": cpus, "items": n_rows, "sec": best,
                       "per_sec": n_rows / best}))

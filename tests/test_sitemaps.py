@@ -119,3 +119,54 @@ def test_crawl_ingests_sitemap_pages(spark, tmp_path):
     }
     rec = {r.domain: r.phone_numbers for r in ingested.company_records.collect()}
     assert rec["sm.test"] == ["+12125550042"]  # tel: href, B8-cleaned
+
+
+def test_sitemap_multi_seed_host_is_deterministic(spark, tmp_path):
+    """ADVICE r3: a host with MULTIPLE seeds must attribute sitemap-seeded
+    depth-0 rows to one deterministic representative (min seed_idx) — the
+    old host-join + dropDuplicates kept an arbitrary fan-out row, making
+    crawl order irreproducible. Two identical runs must agree exactly, and
+    the sitemap row must carry the host's FIRST seed identity."""
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from web_scraper_spark.plans.crawl import run_crawl
+
+    robots = b"User-agent: *\nSitemap: http://multi.test/sitemap.xml\n"
+    sm_xml = (f'<urlset {NS}>'
+              f'<url><loc>http://multi.test/from-sitemap</loc></url>'
+              f'</urlset>').encode()
+    page = b"<html><body><p>x</p></body></html>"
+    schema = StructType([
+        StructField("url", StringType()), StructField("host", StringType()),
+        StructField("depth", IntegerType()), StructField("status", IntegerType()),
+        StructField("content_type", StringType()), StructField("body", BinaryType()),
+    ])
+    web = spark.createDataFrame(
+        [
+            ("http://multi.test", "multi.test", 0, 200, "text/html", page),
+            ("http://multi.test/alt", "multi.test", 0, 200, "text/html", page),
+            ("http://multi.test/robots.txt", "multi.test", 0, 200, "text/plain", robots),
+            ("http://multi.test/sitemap.xml", "multi.test", 0, 200, "application/xml", sm_xml),
+            ("http://multi.test/from-sitemap", "multi.test", 1, 200, "text/html", page),
+        ],
+        schema,
+    )
+    # two seeds on the same host: multi.test (seed_idx 0), /alt (seed_idx 1)
+    seeds = ["multi.test", "multi.test/alt"]
+    runs = []
+    for i in range(2):
+        res = run_crawl(
+            spark, seeds, web, None,
+            workdir=str(tmp_path / f"run{i}"), use_robots=True,
+            ingest_sitemaps=True,
+        )
+        runs.append(sorted(
+            (r["round"], r.depth, r.seed_idx, r.url)
+            for r in res.crawl_log.collect()
+        ))
+    assert runs[0] == runs[1]
+    sm_rows = [t for t in runs[0] if t[3] == "http://multi.test/from-sitemap"]
+    assert len(sm_rows) == 1
+    assert sm_rows[0][2] == 0  # attributed to the host's min seed_idx

@@ -2,10 +2,16 @@
 
 The container has no PIL/opencv, so:
 
-- **PNG**: a real, spec-conformant subset codec (8-bit RGB, filter 0,
-  zlib/deflate IDAT) written from scratch on stdlib ``zlib``/``struct``.
-  Decoding our own encodings is bit-exact — satisfying the lossless
-  per-row invariant from BASELINE.json (decoded-pixel equality).
+- **PNG**: a real, spec-conformant codec written from scratch on stdlib
+  ``zlib``/``struct``. The encoder emits 8-bit RGB filter-0; the DECODER
+  handles the full static-image spec surface: color types 0/2/3/4/6,
+  bit depths 1/2/4/8/16, all five filter types (incl. Paeth), PLTE
+  lookup, and Adam7 interlacing — every output normalized to (h, w, 3)
+  uint8 (gray replicated, palette resolved, alpha dropped, 16-bit
+  downshifted). Decoding our own encodings is bit-exact — satisfying the
+  lossless per-row invariant from BASELINE.json (decoded-pixel
+  equality); foreign PNGs are pinned by filter/interlace round-trip
+  tests against an independent test-side filterer.
 - **"JPEG"**: real JPEG entropy coding is out of scope without a native
   lib, so the lossy path is a clearly-marked deterministic stand-in
   (magic ``FJPG``): uniform quantization (step 4) + zlib. The *loss is
@@ -54,30 +60,141 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+# samples per pixel by PNG color type (3 = palette: 1 index sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, h: int, w: int, channels: int, depth: int) -> np.ndarray:
+    """Undo per-scanline filtering -> (h, rowbytes) of raw (packed) bytes.
+    bpp = the filter byte-offset unit (whole bytes per pixel, min 1)."""
+    rowbytes = (w * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth + 7) // 8)
+    out = np.zeros((h, rowbytes), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + rowbytes])
+        pos += 1 + rowbytes
+        prev = out[y - 1] if y > 0 else np.zeros(rowbytes, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, rowbytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            line = bytearray((np.frombuffer(bytes(line), dtype=np.uint8) + prev).astype(np.uint8).tobytes())
+        elif ftype == 3:  # Average
+            for i in range(rowbytes):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowbytes):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out
+
+
+def _unpack_samples(rows: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, rowbytes) packed -> (h, w, channels) uint8 samples (16-bit
+    downshifted, sub-byte depths expanded to full 0-255 range)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        # big-endian pairs; keep the high byte (spec-sanctioned 8-bit view)
+        return rows[:, : w * channels * 2].reshape(h, w * channels, 2)[:, :, 0].reshape(
+            h, w, channels
+        )
+    # 1/2/4-bit: unpack bits MSB-first, regroup `depth` bits per sample
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    samples = np.zeros((h, w), dtype=np.uint8)
+    for k in range(depth):
+        samples = (samples << 1) | bits[:, :, k]
+    return samples.reshape(h, w, 1)
+
+
 def decode_png(data: bytes) -> np.ndarray:
+    """Full static-PNG decode -> (h, w, 3) uint8 RGB. Color types 0/2/3/
+    4/6, depths 1/2/4/8/16, filters 0-4, Adam7. Alpha channels dropped,
+    grayscale replicated, palette resolved via PLTE, sub-byte grayscale
+    scaled to 0-255."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
-    w = h = None
+    w = h = depth = ctype = interlace = None
     idat = bytearray()
-    while pos < len(data):
+    plte = None
+    while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            if depth != 8 or ctype != 2:
-                raise ValueError("unsupported PNG variant")
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, w * 3 + 1)
-    if not (raw[:, 0] == 0).all():
-        raise ValueError("only filter type 0 supported")
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    channels = _PNG_CHANNELS.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    raw = zlib.decompress(bytes(idat))
+
+    if interlace == 0:
+        samples = _unpack_samples(_unfilter(raw, h, w, channels, depth), w, channels, depth)
+    elif interlace == 1:
+        samples = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rowbytes = (pw * channels * depth + 7) // 8
+            span = ph * (1 + rowbytes)
+            sub = _unpack_samples(
+                _unfilter(raw[off : off + span], ph, pw, channels, depth),
+                pw, channels, depth,
+            )
+            samples[y0::dy, x0::dx] = sub
+            off += span
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+
+    if ctype == 3:
+        return plte[samples[:, :, 0]].copy()
+    if ctype in (0, 4):
+        g = samples[:, :, 0]
+        if depth < 8:  # expand 1/2/4-bit gray to full range
+            g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2).copy()
+    return samples[:, :, :3].copy()
 
 
 def encode_fjpg(pixels: np.ndarray) -> bytes:
