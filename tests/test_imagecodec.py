@@ -227,3 +227,58 @@ def test_png_decode_rejects_garbage():
 
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+def test_png_decode_hypothesis_fuzz():
+    """Property fuzz: random dims/color type/bit depth/filter choice/
+    interlace, encoded by the independent test-side encoder, must decode
+    to the exact expected pixels."""
+    from hypothesis import given, settings, strategies as st
+
+    from web_scraper_spark.operators.imagecodec import decode_png
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 14),
+        ctype=st.sampled_from([0, 2, 4, 6]),
+        seed=st.integers(0, 2**31 - 1),
+        interlace=st.sampled_from([0, 1]),
+        fseed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ctype, seed, interlace, fseed):
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        px = _rng_img(seed, h, w, channels)
+        frng = np.random.RandomState(fseed)
+        fmap = {}
+
+        def ftype_for_row(y):
+            return fmap.setdefault(y, int(frng.randint(0, 5)))
+
+        if interlace == 0:
+            rows = [bytearray(px[y].tobytes()) for y in range(h)]
+            png = _make_png(rows, w, h, 8, ctype, ftype_for_row=ftype_for_row)
+        else:
+            passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+            body = bytearray()
+            for x0, y0, dx, dy in passes:
+                sub = px[y0::dy, x0::dx]
+                ph, pw = sub.shape[:2]
+                if ph == 0 or pw == 0:
+                    continue
+                rows = [bytearray(sub[y].tobytes()) for y in range(ph)]
+                fmap.clear()
+                body += _ref_filter_rows(rows, channels, ftype_for_row)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+            png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+                   + _chunk(b"IDAT", zlib.compress(bytes(body), 6))
+                   + _chunk(b"IEND", b""))
+        got = decode_png(png)
+        if ctype in (0, 4):
+            exp = np.repeat(px[:, :, :1], 3, axis=2)
+        else:
+            exp = px[:, :, :3]
+        assert np.array_equal(got, exp)
+
+    check()
