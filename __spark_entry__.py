@@ -87,10 +87,11 @@ DRIVER_PRIORITY: list[str] = [
     "q19_disjunctive",
     "q22_idle_customers",
     "ann_ivf_scaled",  # new in r4: trained quantizer over the 16x corpus
+    "dedup_passages",  # new in r4: intra-corpus duplicate-span detection
+    "text_bm25_topk",  # new in r4: BM25 retrieval primitive
     # -- high-value backfill (green in r02/r03; keeps regressions visible) --
     "a1_seed_scan_filter",
     "b2_domain_denylist",
-    "b3_canonicalize_url",
     "b5_content_route",
     "b7_best_name",
     "b8_clean_phone",
@@ -98,7 +99,6 @@ DRIVER_PRIORITY: list[str] = [
     "d2_phone_e164",
     "d3_normalize_name",
     "e1_merge_records",
-    "e3_list_union_dedup",
     "e5_top1_window",
     "e6_semi_join",
     "f1_seed_dedup",

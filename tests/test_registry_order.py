@@ -79,7 +79,10 @@ def test_never_driver_tested_queries_lead_the_window():
         "q7_nation_volume", "q10_returned_revenue", "q13_order_distribution",
         "q14_promo_share", "q18_large_volume", "q19_disjunctive",
         "q22_idle_customers",
-        "ann_ivf_scaled",  # new in r4, so also never driver-tested
+        # new in r4, so also never driver-tested
+        "ann_ivf_scaled",
+        "dedup_passages",
+        "text_bm25_topk",
     ]
     head = list(mod.queries())[: len(never_tested)]
     assert head == never_tested

@@ -1943,3 +1943,152 @@ def decontaminate_ngrams(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.countDistinct("gh").alias("shared_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-PASSAGE detection (Lee et al. 2022-style span dedup, the
+# intra-corpus sibling of decontaminate_ngrams): a token 8-gram window is
+# a duplicate passage if its hash occurs in >= 2 DISTINCT documents; each
+# doc reports how much of it is duplicated material. Scale shape: corpus
+# explodes to (doc, gram-hash) positions, ONE shuffle groups by hash for
+# the distinct-doc count, one more keyed join back — never doc x doc
+# pairs, skew-free (gram hashes are uniform). The 0.2 floor keeps the
+# output at flagged-docs scale, not corpus scale.
+_PASSAGE_W = 8  # tokens per window
+
+
+def _passage_grams(words):
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (_PASSAGE_W - 1), F.lit(1))),
+        lambda i: hash60(F.concat_ws(" ", F.slice(words, i, _PASSAGE_W))),
+    )
+
+
+@register(
+    "dedup_passages",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               [array_to_string(words[i:i+{_PASSAGE_W - 1}], ' ')
+                for i in range(1, greatest(len(words) - {_PASSAGE_W - 2}, 2))],
+               s -> {_SQL_H60.format("s")})) AS gh
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+    per_doc AS (
+      SELECT g.doc_id, count(*) AS dup_grams
+      FROM g JOIN dup USING (gh) GROUP BY g.doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS total_grams FROM g GROUP BY doc_id)
+    SELECT t.doc_id, t.total_grams, p.dup_grams,
+           round(p.dup_grams / t.total_grams, 6) AS dup_frac
+    FROM totals t JOIN per_doc p ON t.doc_id = p.doc_id
+    WHERE p.dup_grams / t.total_grams >= 0.2
+    """,
+)
+def dedup_passages(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(_passage_grams(_words(F.col("text")))).alias("gh")
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    per_doc = g.join(dup, "gh").groupBy("doc_id").agg(
+        F.count("*").alias("dup_grams")
+    )
+    totals = g.groupBy("doc_id").agg(F.count("*").alias("total_grams"))
+    return (
+        totals.join(per_doc, "doc_id")
+        .where(F.col("dup_grams") / F.col("total_grams") >= 0.2)
+        .select(
+            "doc_id",
+            "total_grams",
+            "dup_grams",
+            F.round(F.col("dup_grams") / F.col("total_grams"), 6).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k document ranking — the retrieval primitive a training-data
+# pipeline uses for targeted corpus slicing (and the lexical half of
+# hybrid search next to ann_*). Okapi BM25, k1=1.2 b=0.75, fixed query
+# terms (shared literal with the oracle). Scale shape: tokens explode and
+# filter to the broadcastable query vocabulary FIRST (the explode output
+# is |query|-bounded per doc, not vocab-bounded), tf/df are one groupBy
+# each, the scalar (N, avgdl) aggregate broadcasts via a 1-row cross
+# join (collect-free), and the final ranking is a distributed
+# TakeOrderedAndProject.
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n, avg(len(words))::DOUBLE AS avgdl FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest(words) AS token FROM docs)
+      WHERE token IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                    + {_BM25_B} * len(d.words) / s.avgdl))) AS score
+      FROM tf JOIN df USING (token) JOIN docs d ON tf.doc_id = d.doc_id, stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score,
+           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM (SELECT * FROM scored ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10)
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _words(F.col("text")).alias("words"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size("words")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("words").alias("token"))
+        .where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    dl = docs.select("doc_id", F.size("words").cast("double").alias("dl"))
+    scored = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            * F.col("tf") * F.lit(_BM25_K1 + 1)
+            / (F.col("tf") + F.lit(_BM25_K1)
+               * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # over 10 rows only
+    return top.withColumn("rank", F.row_number().over(w))
