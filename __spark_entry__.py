@@ -89,10 +89,10 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivf_scaled",  # new in r4: trained quantizer over the 16x corpus
     "dedup_passages",  # new in r4: intra-corpus duplicate-span detection
     "text_bm25_topk",  # new in r4: BM25 retrieval primitive
+    "hybrid_search_rrf",  # new in r4: BM25 + dense cosine via RRF
     # -- high-value backfill (green in r02/r03; keeps regressions visible) --
     "a1_seed_scan_filter",
     "b2_domain_denylist",
-    "b5_content_route",
     "b7_best_name",
     "b8_clean_phone",
     "d1_social_profile",

@@ -83,6 +83,7 @@ def test_never_driver_tested_queries_lead_the_window():
         "ann_ivf_scaled",
         "dedup_passages",
         "text_bm25_topk",
+        "hybrid_search_rrf",
     ]
     head = list(mod.queries())[: len(never_tested)]
     assert head == never_tested

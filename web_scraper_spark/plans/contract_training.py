@@ -2028,37 +2028,9 @@ _BM25_TERMS = ("hash", "join", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register(
-    "text_bm25_topk",
-    f"""
-    WITH docs AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
-    ),
-    stats AS (
-      SELECT count(*)::DOUBLE AS n, avg(len(words))::DOUBLE AS avgdl FROM docs
-    ),
-    tf AS (
-      SELECT doc_id, token, count(*)::DOUBLE AS tf
-      FROM (SELECT doc_id, unnest(words) AS token FROM docs)
-      WHERE token IN {str(tuple(_BM25_TERMS))}
-      GROUP BY doc_id, token
-    ),
-    df AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY token),
-    scored AS (
-      SELECT tf.doc_id,
-             sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
-                 * tf.tf * ({_BM25_K1} + 1)
-                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
-                    + {_BM25_B} * len(d.words) / s.avgdl))) AS score
-      FROM tf JOIN df USING (token) JOIN docs d ON tf.doc_id = d.doc_id, stats s
-      GROUP BY tf.doc_id
-    )
-    SELECT doc_id, round(score, 6) AS score,
-           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
-    FROM (SELECT * FROM scored ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10)
-    """,
-)
-def text_bm25_topk(spark, sf_dir):
+def _bm25_ranked(spark, sf_dir):
+    """(doc_id, score, rank) — BM25 top-10, shared by text_bm25_topk and
+    the hybrid RRF query."""
     d = _t(spark, sf_dir, "documents")
     docs = d.select("doc_id", _words(F.col("text")).alias("words"))
     stats = docs.agg(
@@ -2091,4 +2063,109 @@ def text_bm25_topk(spark, sf_dir):
     )
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # over 10 rows only
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+_SQL_BM25_RANKED = f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n, avg(len(words))::DOUBLE AS avgdl FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*)::DOUBLE AS tf
+      FROM (SELECT doc_id, unnest(words) AS token FROM docs)
+      WHERE token IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                    + {_BM25_B} * len(d.words) / s.avgdl))) AS score
+      FROM tf JOIN df USING (token) JOIN docs d ON tf.doc_id = d.doc_id, stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score,
+           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM (SELECT * FROM scored ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10)
+    """
+
+
+@register("text_bm25_topk", _SQL_BM25_RANKED)
+def text_bm25_topk(spark, sf_dir):
+    return _bm25_ranked(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search — reciprocal-rank fusion (RRF, k=60) of the lexical BM25
+# top-10 and the dense cosine top-10 (embeddings vec_id == documents
+# doc_id in the testdata). fused = Σ 1/(60 + rank) over the lists that
+# contain the doc — the standard score-free fusion that needs no
+# cross-modal calibration. Both inputs are k-row lists by construction,
+# so the fusion join is trivially broadcastable; all the heavy lifting
+# stays inside the two already-distributed retrieval plans.
+_RRF_K = 60
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH lex AS ({_SQL_BM25_RANKED}),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id, rank FROM (
+        SELECT a.vec_id,
+               row_number() OVER (ORDER BY round(
+                 list_sum(list_transform(range(1, 65),
+                          i -> a.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+                 (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                  sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) DESC,
+                 a.vec_id ASC) AS rank
+        FROM embeddings a, q WHERE a.vec_id <> 0)
+      WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({_RRF_K} + l.rank), 0)
+                   + coalesce(1.0 / ({_RRF_K} + d.rank), 0), 6) AS fused_score
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, fused_score,
+           row_number() OVER (ORDER BY fused_score DESC, doc_id ASC) AS rank
+    FROM (SELECT * FROM fused ORDER BY fused_score DESC, doc_id ASC LIMIT 10)
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    lex = _bm25_ranked(spark, sf_dir).select("doc_id", F.col("rank").alias("lr"))
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dense_top = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(10)
+    )
+    wd = Window.orderBy(F.desc("cos"), F.asc("doc_id"))  # over 10 rows only
+    dense = dense_top.withColumn("dr", F.row_number().over(wd)).select("doc_id", "dr")
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lr")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("dr")), F.lit(0.0)),
+                6,
+            ).alias("fused_score"),
+        )
+    )
+    top = fused.orderBy(F.desc("fused_score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("fused_score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
