@@ -139,3 +139,39 @@ def test_stream_ingested_frontier_feeds_batch_crawl(spark, tmp_path):
         for r in direct.company_records.collect()
     }
     assert gt == gd
+
+
+def test_seed_table_cross_batch_duplicate_is_deterministic(spark, tmp_path):
+    """A URL present in MULTIPLE ingest batches (e.g. a second ingest run
+    into the same table — streaming dedup state does not span queries)
+    must resolve to its MIN batch deterministically; an arbitrary
+    dropDuplicates pick would shift every later seed_idx between runs
+    (code-review r4 finding)."""
+    from web_scraper_spark.plans.crawl import _seed_frontier_from_table
+
+    table = SnapshotTable(spark, str(tmp_path / "fs"))
+    rows = [
+        # (url, host, depth, seed_idx=batch, seed_url, caption, priority, round_offset)
+        ("http://a.test", "a.test", 0, 0, "http://a.test", None, 0.0, 0),
+        ("http://b.test", "b.test", 0, 0, "http://b.test", None, 0.0, 0),
+        # same URL re-ingested in batch 3
+        ("http://a.test", "a.test", 0, 3, "http://a.test", None, 3.0, 0),
+        ("http://c.test", "c.test", 0, 3, "http://c.test", None, 3.0, 0),
+    ]
+    schema = (
+        "url string, host string, depth int, seed_idx long, seed_url string, "
+        "caption string, priority double, round_offset long"
+    )
+    table.append(spark.createDataFrame(rows, schema), tag="batch-3")
+
+    outs = [
+        sorted(
+            (r.url, r.seed_idx)
+            for r in _seed_frontier_from_table(spark, str(tmp_path / "fs")).collect()
+        )
+        for _ in range(2)
+    ]
+    assert outs[0] == outs[1]
+    m = dict(outs[0])
+    # a.test resolved to batch 0 -> ordered before b (batch 0) then c (batch 3)
+    assert m == {"http://a.test": 0, "http://b.test": 1, "http://c.test": 2}

@@ -90,13 +90,14 @@ def assign_rounds_range(
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     ckpt_ids: list = []
     if materialize:
-        jsc = frontier.sparkSession.sparkContext._jsc
-        before = set(jsc.getPersistentRDDs().keySet().toArray())
         # freeze partitioning + intra-partition order + _pid in one pass
         with_pid = with_pid.localCheckpoint(eager=True)
-        ckpt_ids = [
-            i for i in jsc.getPersistentRDDs().keySet().toArray() if i not in before
-        ]
+        # read the checkpointed RDD id straight off the LogicalRDD leaf —
+        # diffing getPersistentRDDs before/after is racy under concurrent
+        # persists (e.g. a live streaming ingest checkpointing its own
+        # batch on the same session would get captured and released)
+        leaf = with_pid._jdf.queryExecution().analyzed().collectLeaves().apply(0)
+        ckpt_ids = [leaf.rdd().id()]
 
     # fragment counts (metadata scale: one row per (partition, host));
     # running per-host prefix offset over _pid order, keep straddlers only

@@ -126,11 +126,14 @@ def _extracted(spark):
     the driver runs five queries, the 176-page extraction runs once).
     Keyed on applicationId, not id(spark): a stopped session's id() can be
     reused by a new one, handing out a DataFrame bound to a dead context
-    (ADVICE r3)."""
+    (ADVICE r3). Single-entry: only the CURRENT session's fixture is ever
+    needed, and evicting on key change keeps a many-session process from
+    accumulating dead DataFrame handles."""
     key = spark.sparkContext.applicationId
     cached = _EXTRACTED_CACHE.get(key)
     if cached is not None:
         return cached
+    _EXTRACTED_CACHE.clear()
     from web_scraper_spark.operators.extract import extract_all
 
     pages = spark.read.parquet(PAGES_PATH)

@@ -113,8 +113,13 @@ def _seed_frontier_from_table(spark: SparkSession, table_path: str) -> DataFrame
         raise ValueError(f"seed_table {table_path!r} has no committed snapshot")
     w = Window.orderBy(F.asc("_batch"), F.asc("url"))  # _batch = ingest batch_id
     return (
+        # min(_batch) per url, not dropDuplicates: a URL re-ingested in a
+        # later batch (second ingest run into the same table — the
+        # streaming dedup state does not span queries) must resolve to a
+        # DETERMINISTIC batch or every later seed_idx shifts between runs
         df.select("url", "host", F.col("seed_idx").alias("_batch"))
-        .dropDuplicates(["url"])
+        .groupBy("url", "host")
+        .agg(F.min("_batch").alias("_batch"))
         .withColumn("seed_idx", (F.row_number().over(w) - F.lit(1)).cast("long"))
         .select(
             "url",
@@ -403,11 +408,15 @@ def run_crawl(
         assigned = assign_rounds(
             _robots_filter(df), politeness_budget, politeness_method
         )
-        path = frontier_t.write_data(assigned, partition_by=["round_offset"])
-        # the depth's frontier is durable in parquet now — free the
-        # scheduler's checkpoint blocks so a many-depth crawl never
-        # accumulates pinned frontier copies (VERDICT r3 nit)
-        release_rounds(assigned)
+        try:
+            path = frontier_t.write_data(assigned, partition_by=["round_offset"])
+        finally:
+            # free the scheduler's checkpoint blocks so a many-depth crawl
+            # never accumulates pinned frontier copies (VERDICT r3 nit) —
+            # in finally so a failed write doesn't leak the checkpoint
+            # either (the crawl resumes from the last committed round and
+            # re-runs assign_rounds)
+            release_rounds(assigned)
         out: dict[int, str] = {}
         for name in os.listdir(path):
             if name.startswith("round_offset="):
@@ -494,15 +503,25 @@ def run_crawl(
                     "sm_url",
                     "left_anti",
                 )
+                # cross-HOST duplicates need the same determinism as
+                # multi-seed hosts: two seeded hosts advertising the same
+                # URL must resolve to the min-(seed_idx, host)
+                # representative, not an arbitrary dropDuplicates row
+                .groupBy("sm_url")
+                .agg(
+                    F.min_by(
+                        F.struct("host", "seed_idx", "seed_url"),
+                        F.struct("seed_idx", "host"),
+                    ).alias("_r")
+                )
                 .select(
                     F.col("sm_url").alias("url"),
-                    "host",
+                    F.col("_r.host"),
                     F.lit(0).cast("int").alias("depth"),
-                    "seed_idx",
-                    "seed_url",
+                    F.col("_r.seed_idx"),
+                    F.col("_r.seed_url"),
                     F.lit(None).cast("string").alias("caption"),
                 )
-                .dropDuplicates(["url"])
             )
             seeds_df = seeds_df.unionByName(
                 _with_priority(extra, priority_expr)

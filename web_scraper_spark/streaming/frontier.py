@@ -63,8 +63,13 @@ def ingest_seed_stream(
             F.lit(None).cast("string").alias("caption"),
         ).withColumn("priority", F.col("seed_idx").cast("double"))
         assigned = assign_rounds(frontier, politeness_budget)
-        table.append(assigned, tag=f"batch-{batch_id}")
-        release_rounds(assigned)
+        try:
+            table.append(assigned, tag=f"batch-{batch_id}")
+        finally:
+            # in finally: a failed/retried micro-batch re-runs land() with
+            # a fresh checkpoint — without this the first attempt's blocks
+            # leak once per retry
+            release_rounds(assigned)
 
     return (
         novel.writeStream.foreachBatch(land)
