@@ -204,3 +204,26 @@ def test_politeness_releases_its_cache(spark):
         assert n_persistent() == base, (
             f"release_rounds left blocks pinned: base={base}, now={n_persistent()}"
         )
+
+
+def test_dedup_passages_no_cartesian_and_partial_aggs(spark, sf_dir):
+    """The passage-dedup plan must stay gram-bucketed: hash aggregates
+    with partial (map-side) phases and keyed joins — never a cartesian
+    product or a doc x doc join."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["dedup_passages"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_hybrid_rrf_heavy_lifting_stays_distributed(spark, sf_dir):
+    """Both retrieval arms of the RRF fusion must rank via distributed
+    TakeOrderedAndProject; the fusion join itself is over two 10-row
+    lists."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["hybrid_search_rrf"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2  # lexical + dense arms
+    assert "CartesianProduct" not in plan
