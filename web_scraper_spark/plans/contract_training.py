@@ -1841,6 +1841,145 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+# TPC-H Q8 shape — national market share: PROMO-part revenue sold to ASIA
+# customers, share attributable to NATION_5 suppliers, per order year.
+# Scale shape: dims (part filter, customer->nation->region, supplier
+# nation) all broadcast; one shuffle for the year rollup; the share is a
+# conditional-sum ratio in ONE aggregation pass.
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    cust_asia = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    supp_n = (
+        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                    F.col("n_name").alias("nation"))),
+               s["s_nationkey"] == F.col("sn_key"))
+        .select("s_suppkey", "nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust_asia, o["o_custkey"] == cust_asia["c_custkey"], "left_semi")
+        .join(F.broadcast(p.where(F.col("p_type") == "PROMO").select("p_partkey")),
+              li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp_n), li["l_suppkey"] == supp_n["s_suppkey"])
+        .select(F.year("o_orderdate").alias("o_year"),
+                vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume"))
+                      .otherwise(0.0)) / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# TPC-H Q15 shape — top supplier(s) by shipped revenue in 1996Q1: the
+# revenue view + max selection, collect-free (1-row max broadcast back).
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), s["s_suppkey"] == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# TPC-H Q17 shape — small-quantity-order revenue: per-part average
+# quantity (EXACT across engines: integer sums < 2^53) joined back, the
+# 0.2x gate, one global sum. The per-part avg broadcasts (part-count
+# rows); no correlated-subquery re-scan.
+@register(
+    "q17_small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_gate
+          FROM lineitem GROUP BY l_partkey) g
+      ON l.l_partkey = g.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < g.qty_gate
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    gate = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_gate"))
+        .withColumnRenamed("l_partkey", "g_partkey")
+    )
+    return (
+        li.join(F.broadcast(p.where(F.col("p_brand") == "Brand#1")
+                            .select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(gate), li["l_partkey"] == F.col("g_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_gate"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # PageRank — the canonical frontier-priority signal (operators/pagerank.py:
 # iterative power method, dangling mass redistributed, localCheckpoint per
