@@ -227,3 +227,15 @@ def test_hybrid_rrf_heavy_lifting_stays_distributed(spark, sf_dir):
     plan = _plan(entry.queries()["hybrid_search_rrf"](spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 2  # lexical + dense arms
     assert "CartesianProduct" not in plan
+
+
+def test_new_tpch_broadcast_dims(spark, sf_dir):
+    """Q8/Q15/Q17: dimension sides broadcast (no sort-merge join of a
+    dim), scalar maxima/gates broadcast back collect-free."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("q8_market_share", "q15_top_supplier", "q17_small_qty_revenue"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
