@@ -877,6 +877,53 @@ def stream_sessionize(spark, sf_dir):
     )
 
 
+# Session windows via the CATALYST-NATIVE operator (F.session_window) —
+# the JVM-side sibling of stream_sessionize's stateful Arrow twin: one
+# shuffle on user_id, session assignment inside whole-stage codegen, no
+# Python anywhere. window.end = last event + gap (Spark semantics); the
+# oracle is an independent gaps-and-islands rewrite. Timestamps carry
+# microseconds, so an exact-30:00 boundary tie is measure-zero.
+@register(
+    "session_windows_batch",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_windows_batch(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H flagships — prove classic OLAP parity + plan quality
 @register(
