@@ -924,6 +924,65 @@ def session_windows_batch(spark, sf_dir):
     )
 
 
+# Corpus length distribution — EXACT percentiles (Spark `percentile`
+# and DuckDB `quantile_cont` share linear-interpolation semantics; the
+# approx sketches can never hash-match an oracle). The real
+# training-data use: per-source length profiles drive truncation/packing
+# decisions. One shuffle (groupBy source); percentile is a single-pass
+# typed aggregate, no Python.
+@register(
+    "corpus_length_percentiles",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(len(text)), 2) AS avg_len,
+           round(quantile_cont(len(text), 0.5), 4) AS p50,
+           round(quantile_cont(len(text), 0.9), 4) AS p90,
+           round(quantile_cont(len(text), 0.99), 4) AS p99
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_length_percentiles(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(ln), 2).alias("avg_len"),
+        F.round(F.percentile(ln, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(ln, F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(ln, F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# J catalog addendum — JSON scalar functions (the string/date catalogs
+# are covered by j_string_functions/j_date_functions; events.props is
+# the JSON column): path extraction + typed cast inside a grouped
+# aggregate, all JVM-side.
+@register(
+    "j_json_functions",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           max(json_extract(props, '$.k')::BIGINT) AS max_k,
+           round(avg(CASE WHEN json_extract(props, '$.k')::BIGINT % 2 = 0
+                          THEN value END), 2) AS avg_value_even_k
+    FROM events GROUP BY event_type
+    """,
+)
+def j_json_functions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(F.when(k % 2 == 0, F.col("value"))), 2).alias(
+            "avg_value_even_k"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H flagships — prove classic OLAP parity + plan quality
 @register(
