@@ -983,6 +983,90 @@ def j_json_functions(spark, sf_dir):
     )
 
 
+# Grouped top-N — the per-key ranking shape (top-1 is e5_top1_window;
+# this is the general N): 3 longest documents per source via a window
+# rank. The window partitions on source, so the shuffle is the groupBy's
+# own; no global sort.
+@register(
+    "docs_topn_per_source",
+    """
+    SELECT source, doc_id, doc_len, rnk FROM (
+      SELECT source, doc_id, len(text) AS doc_len,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY len(text) DESC, doc_id ASC) AS rnk
+      FROM documents)
+    WHERE rnk <= 3
+    """,
+)
+def docs_topn_per_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    return (
+        d.select(
+            "source", "doc_id", F.length("text").alias("doc_len"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# Event-to-dimension enrichment — the behavioral-analytics join shape:
+# the event stream joins a broadcast customer dimension (user_id keys a
+# customer row), aggregating value by market segment x event type. At
+# 10^10 events the dim broadcast keeps the plan shuffle-free until the
+# final rollup.
+@register(
+    "events_by_segment",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def events_by_segment(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# Value histogram — fixed-width bucketing with EXPLICIT arithmetic
+# (DuckDB has no width_bucket; the identical floor(value/step) double
+# expression on both sides gives parity by construction, boundary FP
+# included). The distribution-profiling primitive for quality gates.
+@register(
+    "events_value_histogram",
+    """
+    SELECT CAST(floor(value / 2.0) AS INT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events GROUP BY bucket
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(F.floor(F.col("value") / 2.0).cast("int").alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H flagships — prove classic OLAP parity + plan quality
 @register(
