@@ -1067,6 +1067,66 @@ def events_value_histogram(spark, sf_dir):
     )
 
 
+# Pivot — the cross-tab reshape (DataFrame .pivot with EXPLICIT value
+# list, so the plan skips the distinct-values discovery job; the oracle
+# is the equivalent conditional aggregation). Counts of each event type
+# per customer segment.
+_PIVOT_TYPES = ("click", "view", "error")
+
+
+@register(
+    "events_pivot_by_type",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           {", ".join(
+               f"count(CASE WHEN e.event_type = '{t}' THEN 1 END) AS n_{t}"
+               for t in _PIVOT_TYPES)}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_pivot_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    pivoted = (
+        e.join(F.broadcast(c), e["user_id"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+    out = pivoted.select(
+        "segment",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES],
+    )
+    return out
+
+
+# Tumbling time windows — the fixed-bucket sibling of
+# session_windows_batch (F.window == Catalyst TimeWindow; oracle =
+# date_trunc). Daily event rollup.
+@register(
+    "events_daily_windows",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY window_start
+    """,
+)
+def events_daily_windows(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n", "total_value"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H flagships — prove classic OLAP parity + plan quality
 @register(
