@@ -28,7 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.array_sort(F.array_distinct(F.collect_list("o_orderpriority"))).alias("priorities"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # money sums in exact DECIMAL (CLAUDE.md invariant): order-
+            # dependent double sums flip round() on .5 boundaries
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").alias("total"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -55,65 +58,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver records correctness rows for AT MOST the first 50 entries of
 # queries() in dict-insertion order (proven in VERDICT r03: CORRECTNESS key
 # order == registry order, cut at 50).  DRIVER_PRIORITY therefore pins which
-# queries occupy that window.  Head of the list: every query that has never
-# had a green driver row (C1-C5 extraction, the IVF trio, asof, rollup/cube/
-# window-frames, PageRank, decontamination, J catalogs, TPC-H tail), then
-# high-value backfill.  tests/test_registry_order.py asserts the first-50 set
-# equals this list so a late registration can never silently push an untested
-# query past the cap again.
+# queries occupy that window.  Round-5 rotation (VERDICT r4 item 3): the 11
+# never-driver-checked queries lead, then the 27 queries whose last driver
+# row is r01-r03, then q7 (red in r4, fixed this round via exact-decimal
+# money sums) plus every r4-green query the decimal-sum convention touched
+# (their plans changed, so they need fresh driver rows), then 3 flagship
+# regressions.  After this round every one of the 88 registry entries has a
+# driver row from r4 or r5.  tests/test_registry_order.py pins the window.
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-green before round 4 ---------------------------------
-    "c1_phones_extract",
-    "c2_socials_extract",
-    "c3_addresses_extract",
-    "c4_contacts_extract",
-    "c5_extract_all",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe",
-    "ann_ivf_kmeans",
-    "asof_join_orders",
+    # -- never driver-checked through r4 (local mirror only) ---------------
+    "session_windows_batch",
+    "corpus_length_percentiles",
+    "j_json_functions",
+    "docs_topn_per_source",
+    "events_by_segment",
+    "events_value_histogram",
+    "events_pivot_by_type",
+    "events_daily_windows",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    # -- last driver row r01-r03 (green then, unchecked in r4) -------------
+    "b1_prepare_url",
+    "b5_content_route",
+    "g1_coverage",
+    "g2_fill_rates",
+    "g4_match_rate",
+    "g3_window_report",
+    "b3_canonicalize_url",
+    "e3_list_union_dedup",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "neardup_embedding_cosine",
+    "text_langid_heuristic",
+    "text_langid_ngram",
+    "text_quality_score",
+    "text_token_count",
+    "doc_fingerprint",
+    "embed_norm_stats",
+    "text_normalize",
+    "sample_stratified",
+    "tokens_topk",
+    "corpus_funnel",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q6_revenue_delta",
+    "q4_priority_check",
+    # -- r4 red, fixed this round (exact-decimal money sums) ---------------
+    "q7_nation_volume",
+    # -- r4 green but re-planned by the decimal-sum convention -------------
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q19_disjunctive",
+    "q22_idle_customers",
     "q_rollup_revenue",
     "q_cube_revenue",
     "q_window_frames",
-    "doc_pagerank",
-    "decontaminate_ngrams",
-    "j_string_functions",
-    "j_date_functions",
-    "q7_nation_volume",
-    "q10_returned_revenue",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q18_large_volume",
-    "q19_disjunctive",
-    "q22_idle_customers",
-    "ann_ivf_scaled",  # new in r4: trained quantizer over the 16x corpus
-    "dedup_passages",  # new in r4: intra-corpus duplicate-span detection
-    "text_bm25_topk",  # new in r4: BM25 retrieval primitive
-    "hybrid_search_rrf",  # new in r4: BM25 + dense cosine via RRF
-    # -- high-value backfill (green in r02/r03; keeps regressions visible) --
-    "a1_seed_scan_filter",
-    "b2_domain_denylist",
-    "b7_best_name",
-    "b8_clean_phone",
-    "d1_social_profile",
-    "d2_phone_e164",
-    "d3_normalize_name",
     "e1_merge_records",
-    "e5_top1_window",
-    "e6_semi_join",
-    "f1_seed_dedup",
-    "f1b_seen_antijoin",
-    "h2_fanout_explode",
-    "h3_politeness_rounds",
-    "h4_salted_key",
-    "h5_idempotent_upsert",
-    "dedup_exact_guard",
+    # -- unchanged flagship regressions ------------------------------------
+    "c5_extract_all",
     "dedup_minhash_lsh",
-    "dedup_cluster_labels",
-    "dedup_keep_best",
-    "ann_cosine_topk",
-    "image_phash_neardup",
-    "stream_sessionize",
+    "text_bm25_topk",
 ]
 
 

@@ -19,7 +19,13 @@ def _canon(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "nan"
-        return f"{value:.6g}"
+        # FULL precision (shortest round-trip repr): repr equality on
+        # doubles is bit equality, i.e. exactly the driver's value-hash
+        # strictness.  The previous .6g canonicalization hid q7's
+        # last-cent driver failure behind 6 significant digits
+        # (VERDICT r4 item 2) — contract queries must be deterministic
+        # to the bit, not to 6 sig figs.
+        return repr(value)
     if isinstance(value, bool):
         return str(int(value))
     if isinstance(value, (list, tuple)):
@@ -89,6 +95,17 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         (a, b) for a, b in zip(got_rows, exp_rows) if a != b
     ][:5]
     assert not mismatches, f"value mismatch (first 5): {mismatches}"
+
+
+def test_canon_full_precision():
+    """The mirror must see a perturbation in the 8th significant digit —
+    the exact class of diff (last cent of a 7-digit revenue) that the .6g
+    canonicalization hid while the driver's exact hash failed (q7, r4)."""
+    v = 774619.34
+    assert _canon(v) != _canon(v + 0.01)
+    assert _canon(v) != _canon(v + 1e-9)  # even sub-cent FP drift is visible
+    assert _canon(v) == _canon(774619.34)
+    assert _canon(float("nan")) == "nan"
 
 
 def test_entry_smoke(spark):

@@ -15,7 +15,7 @@ operator has one — the oracle then cross-validates the engine's Catalyst
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from web_scraper_spark.functions.names import best_name, normalize_company_name
@@ -30,6 +30,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
+
+# Money convention (CLAUDE.md invariant, VERDICT r4 item 1): SUM money in
+# DECIMAL, never double.  round(sum(DOUBLE), 2) is summation-order-dependent
+# — at sf0.01, 47 of q7's 4,188 group sums land exactly on the 2-decimal .5
+# boundary, so Spark's partition-order partial sums and DuckDB's row-order
+# sums round to different cents.  Every money column in the testdata is
+# 2-decimal-quantized (verified), so DECIMAL(18,4) holds each value exactly
+# and any price*(1-discount) product has <= 4 fractional digits; the decimal
+# sum is then exact and identical on both engines, round happens in exact
+# decimal arithmetic, and the final cast to double is lossless.
+_DEC = "decimal(18,4)"
+
+
+def _dec(col) -> Column:
+    """Exact-decimal view of a 2-decimal-quantized money column."""
+    return (col if not isinstance(col, str) else F.col(col)).cast(_DEC)
+
+
+def _money(sum_col, nd: int = 2) -> Column:
+    """round(exact-decimal aggregate, nd) emitted as DOUBLE (driver schema)."""
+    return F.round(sum_col, nd).cast("double")
+
+
+def _disc_rev() -> Column:
+    """l_extendedprice * (1 - l_discount) in exact decimal (scale 8)."""
+    return _dec("l_extendedprice") * (F.lit(1).cast(_DEC) - _dec("l_discount"))
+
+
+# DuckDB twins of the same convention.
+SQL_DEC = "CAST({} AS DECIMAL(18,4))"
+SQL_DISC_REV = (
+    "CAST({p}l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST({p}l_discount AS DECIMAL(18,4)))"
+)
 
 
 def register(name: str, sql: str | None = None):
@@ -315,7 +349,7 @@ def f1b_seen_antijoin(spark, sf_dir):
     """
     SELECT o_custkey AS domain_key,
            array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
-           round(sum(o_totalprice), 2)::DOUBLE AS total,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS total,
            max_by(o_orderstatus, epoch(o_orderdate) * 10000000 + o_orderkey) AS last_status
     FROM orders GROUP BY o_custkey
     """,
@@ -326,7 +360,7 @@ def e1_merge_records(spark, sf_dir):
         F.array_join(
             F.array_sort(F.array_distinct(F.collect_list("o_orderpriority"))), "|"
         ).alias("priorities"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        _money(F.sum(_dec("o_totalprice"))).alias("total"),
         F.max_by(
             "o_orderstatus",
             F.unix_timestamp("o_orderdate") * F.lit(10000000) + F.col("o_orderkey"),
@@ -548,7 +582,7 @@ def h4_salted_key(spark, sf_dir):
     "g3_window_report",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
-           count(*) AS n, round(sum(value), 2)::DOUBLE AS total_value
+           count(*) AS n, round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -560,7 +594,7 @@ def g3_window_report(spark, sf_dir):
                 "hour_bucket"
             )
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), _money(F.sum(_dec("value"))).alias("total_value"))
     )
 
 

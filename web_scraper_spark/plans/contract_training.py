@@ -21,7 +21,9 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from web_scraper_spark.operators.similarity import cosine, neardup_pairs
-from web_scraper_spark.plans.contract import ORACLES, QUERIES, register, _t
+from web_scraper_spark.plans.contract import (
+    ORACLES, QUERIES, register, _t, _dec, _disc_rev, _money,
+)
 
 N_MINHASH = 8
 
@@ -902,7 +904,7 @@ def stream_sessionize(spark, sf_dir):
            min(ts) AS session_start,
            max(ts) + INTERVAL 30 MINUTE AS session_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -912,7 +914,7 @@ def session_windows_batch(spark, sf_dir):
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _money(F.sum(_dec("value"))).alias("total_value"),
         )
         .select(
             "user_id",
@@ -1022,7 +1024,7 @@ def docs_topn_per_source(spark, sf_dir):
     """
     SELECT c.c_mktsegment AS segment, e.event_type,
            count(*) AS n,
-           round(sum(e.value), 2) AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment, e.event_type
     """,
@@ -1035,7 +1037,7 @@ def events_by_segment(spark, sf_dir):
         .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _money(F.sum(_dec("value"))).alias("total_value"),
         )
     )
 
@@ -1109,7 +1111,7 @@ def events_pivot_by_type(spark, sf_dir):
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY window_start
     """,
 )
@@ -1119,7 +1121,7 @@ def events_daily_windows(spark, sf_dir):
         e.groupBy(F.window("ts", "1 day").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _money(F.sum(_dec("value"))).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"), "n", "total_value"
@@ -1133,10 +1135,10 @@ def events_daily_windows(spark, sf_dir):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)::DOUBLE AS sum_qty,
-           round(sum(l_extendedprice), 2)::DOUBLE AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS sum_disc_price,
-           round(avg(l_quantity), 4)::DOUBLE AS avg_qty,
+           round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS sum_base_price,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)::DOUBLE AS avg_qty,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-01'
@@ -1148,10 +1150,10 @@ def q1_pricing_summary(spark, sf_dir):
         F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+        _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+        _money(F.sum(_disc_rev())).alias("sum_disc_price"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4).alias("avg_qty"),
         F.count("*").alias("count_order"),
     )
 
@@ -1161,8 +1163,8 @@ def q1_pricing_summary(spark, sf_dir):
     """
     SELECT o_orderkey, round(revenue, 2)::DOUBLE AS revenue, o_orderpriority
     FROM (SELECT o.o_orderkey, o.o_orderpriority,
-                 sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
-                 row_number() OVER (ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+                 sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS revenue,
+                 row_number() OVER (ORDER BY round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) DESC,
                                     o.o_orderkey ASC) AS rn
           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
           JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1179,20 +1181,20 @@ def q3_top_orders(spark, sf_dir):
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy(o["o_orderkey"], "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.sum(_disc_rev()).alias("revenue"))
     )
     w = Window.orderBy(F.desc(F.round(F.col("revenue"), 2)), F.asc("o_orderkey"))
     return (
         rev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 10)
-        .select("o_orderkey", F.round("revenue", 2).alias("revenue"), "o_orderpriority")
+        .select("o_orderkey", _money(F.col("revenue")).alias("revenue"), "o_orderpriority")
     )
 
 
 @register(
     "q5_region_revenue",
     """
-    SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)::DOUBLE AS revenue
+    SELECT n.n_name AS nation, round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1227,9 +1229,7 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(dims), c["c_nationkey"] == dims["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money(F.sum(_disc_rev())).alias("revenue")
         )
     )
 
@@ -1239,7 +1239,7 @@ def q5_region_revenue(spark, sf_dir):
 @register(
     "q6_revenue_delta",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2)::DOUBLE AS revenue
+    SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1256,7 +1256,7 @@ def q6_revenue_delta(spark, sf_dir):
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_money(F.sum(_dec("l_extendedprice") * _dec("l_discount"))).alias("revenue"))
     )
 
 
@@ -1291,10 +1291,10 @@ def q4_priority_check(spark, sf_dir):
 @register(
     "q14_promo_share",
     """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END) /
-                 sum(l_extendedprice * (1 - l_discount)), 4)::DOUBLE AS promo_pct
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                       THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                                       ELSE 0 END) AS DOUBLE) /
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)::DOUBLE AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
       AND l.l_shipdate < TIMESTAMP '1996-04-01'
@@ -1306,14 +1306,15 @@ def q14_promo_share(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _disc_rev()
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                        .otherwise(_dec(F.lit(0)))).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_pct")
         )
@@ -1361,7 +1362,7 @@ def q18_large_volume(spark, sf_dir):
 @register(
     "q19_disjunctive",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue
+    SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
        OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
@@ -1384,9 +1385,7 @@ def q19_disjunctive(spark, sf_dir):
         li.join(p, p["p_partkey"] == li["l_partkey"])
         .where(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money(F.sum(_disc_rev())).alias("revenue")
         )
     )
 
@@ -1441,7 +1440,7 @@ def asof_join_orders(spark, sf_dir):
     """
     SELECT coalesce(o_orderpriority, 'ALL') AS priority,
            coalesce(CAST(y AS VARCHAR), 'ALL') AS yr,
-           round(sum(o_totalprice), 2)::DOUBLE AS total,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS total,
            count(*) AS n
     FROM (SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS y,
                  o_totalprice FROM orders)
@@ -1457,7 +1456,7 @@ def q_rollup_revenue(spark, sf_dir):
     return (
         o.rollup("o_orderpriority", "y")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            _money(F.sum(_dec("o_totalprice"))).alias("total"),
             F.count("*").alias("n"),
         )
         .select(
@@ -1477,7 +1476,7 @@ def q_rollup_revenue(spark, sf_dir):
     """
     SELECT coalesce(l_returnflag, 'ALL') AS rf,
            coalesce(l_linestatus, 'ALL') AS ls,
-           round(sum(l_extendedprice), 2)::DOUBLE AS total,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS total,
            count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -1488,7 +1487,7 @@ def q_cube_revenue(spark, sf_dir):
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("total"),
             F.count("*").alias("n"),
         )
         .select(
@@ -1509,8 +1508,8 @@ def q_cube_revenue(spark, sf_dir):
     "q_window_frames",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER w3, 2)::DOUBLE AS sum3,
-           round(sum(o_totalprice) OVER wall, 2)::DOUBLE AS running_total
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w3, 2)::DOUBLE AS sum3,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER wall, 2)::DOUBLE AS running_total
     FROM orders
     WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
@@ -1525,8 +1524,8 @@ def q_window_frames(spark, sf_dir):
     wall = base.rowsBetween(Window.unboundedPreceding, 0)
     return o.select(
         "o_custkey", "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w3), 2).alias("sum3"),
-        F.round(F.sum("o_totalprice").over(wall), 2).alias("running_total"),
+        _money(F.sum(_dec("o_totalprice")).over(w3)).alias("sum3"),
+        _money(F.sum(_dec("o_totalprice")).over(wall)).alias("running_total"),
     )
 
 
@@ -1952,7 +1951,7 @@ ORACLES["ann_ivf_scaled"] = _sql_ivf_scaled()
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS INT) AS y,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1986,9 +1985,7 @@ def q7_nation_volume(spark, sf_dir):
             F.year("l_shipdate").cast("int").alias("y"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money(F.sum(_disc_rev())).alias("revenue")
         )
     )
 
@@ -2001,7 +1998,7 @@ def q7_nation_volume(spark, sf_dir):
            row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rank
     FROM (
       SELECT c.c_custkey, c.c_name, n.n_name,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)::DOUBLE AS revenue
+             round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS revenue
       FROM customer c
       JOIN orders o ON o.o_custkey = c.c_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2022,9 +2019,7 @@ def q10_returned_revenue(spark, sf_dir):
         .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money(F.sum(_disc_rev())).alias("revenue")
         )
     )
     top = agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
@@ -2066,7 +2061,7 @@ def q13_order_distribution(spark, sf_dir):
     WITH avg_bal AS (
       SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
     SELECT c_nationkey, count(*)::BIGINT AS numcust,
-           round(sum(c_acctbal), 2)::DOUBLE AS totacctbal
+           round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2)::DOUBLE AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.ab
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -2086,7 +2081,7 @@ def q22_idle_customers(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _money(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
         )
     )
 
@@ -2100,11 +2095,11 @@ def q22_idle_customers(spark, sf_dir):
     "q8_market_share",
     """
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT year(o.o_orderdate) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume,
              n2.n_name AS nation
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2138,7 +2133,7 @@ def q8_market_share(spark, sf_dir):
                s["s_nationkey"] == F.col("sn_key"))
         .select("s_suppkey", "nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _disc_rev()
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(cust_asia, o["o_custkey"] == cust_asia["c_custkey"], "left_semi")
@@ -2151,7 +2146,8 @@ def q8_market_share(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume"))
-                      .otherwise(0.0)) / F.sum("volume"),
+                      .otherwise(_dec(F.lit(0)))).cast("double")
+                / F.sum("volume").cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -2165,14 +2161,14 @@ def q8_market_share(spark, sf_dir):
     """
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS total_rev_d
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev_d AS DOUBLE) AS total_revenue
     FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    WHERE r.total_rev_d = (SELECT max(total_rev_d) FROM rev)
     """,
 )
 def q15_top_supplier(spark, sf_dir):
@@ -2184,15 +2180,15 @@ def q15_top_supplier(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("total_revenue"))
+        .agg(F.round(F.sum(_disc_rev()), 2).alias("total_rev_d"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    mx = rev.agg(F.max("total_rev_d").alias("_mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
-        .where(F.col("total_revenue") == F.col("_mx"))
+        .where(F.col("total_rev_d") == F.col("_mx"))
         .join(F.broadcast(s), s["s_suppkey"] == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name",
+                F.col("total_rev_d").cast("double").alias("total_revenue"))
     )
 
 
@@ -2203,7 +2199,7 @@ def q15_top_supplier(spark, sf_dir):
 @register(
     "q17_small_qty_revenue",
     """
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_gate
           FROM lineitem GROUP BY l_partkey) g
@@ -2226,7 +2222,8 @@ def q17_small_qty_revenue(spark, sf_dir):
                 li["l_partkey"] == F.col("p_partkey"), "left_semi")
         .join(F.broadcast(gate), li["l_partkey"] == F.col("g_partkey"))
         .where(F.col("l_quantity") < F.col("qty_gate"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2)
+             .alias("avg_yearly"))
     )
 
 
