@@ -132,6 +132,46 @@ def main() -> None:
     reps_raw["crawl_e2e"] = [round(r, 3) for r in raw]
     throughput["crawl_pages_per_sec"] = round(pages_box[-1] / dt, 1)
 
+    # ---- steady-state crawl at 5k domains (VERDICT r4 item 6) ----------
+    # The 300-domain crawl_e2e is noise-dominated and includes fixture
+    # generation in the timed region (kept for r1-r4 comparability). This
+    # variant pre-generates a 5k-domain web (~21k pages) ONCE, caches it
+    # as parquet, and times run_crawl only — per-round fixed costs
+    # amortize, so pages/s approaches the politeness+fetch+extract
+    # steady state (the closest local[32] proxy to the 100x-scale claim).
+    # One rep: the ~2-min run self-averages over hypervisor-steal bursts
+    # better than best-of-3 over 3 s runs, and keeps bench wall bounded.
+    n_5k = 5000
+    pages5k_box: list[int] = []
+    fixture_dir = tempfile.mkdtemp(prefix="bench_web5k_")
+
+    def run_crawl_5k() -> None:
+        from web_scraper_spark.plans.crawl import run_crawl
+
+        workdir = tempfile.mkdtemp(prefix="bench_crawl5k_")
+        try:
+            result = run_crawl(
+                spark, seeds5k_box[0], webdf5k_box[0], None, workdir=workdir
+            )
+            pages5k_box.append(result.crawl_log.count())
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    from web_scraper_spark.sources.synthetic_web import build_web, web_host_df
+
+    seeds5k, _ = build_web(n_5k)
+    web_host_df(spark, n_5k).write.mode("overwrite").parquet(
+        f"{fixture_dir}/web.parquet"
+    )
+    seeds5k_box = [seeds5k]
+    webdf5k_box = [spark.read.parquet(f"{fixture_dir}/web.parquet")]
+    dt, raw = best_of(run_crawl_5k, reps=1)
+    timings["crawl_e2e_5k"] = round(dt, 3)
+    reps_raw["crawl_e2e_5k"] = [round(r, 3) for r in raw]
+    throughput["crawl_5k_pages"] = pages5k_box[-1]
+    throughput["crawl_5k_pages_per_sec"] = round(pages5k_box[-1] / dt, 1)
+    shutil.rmtree(fixture_dir, ignore_errors=True)
+
     # ---- contract flagships over the sf parquet -------------------------
     import __spark_entry__ as entry
 
@@ -153,6 +193,54 @@ def main() -> None:
         dt, raw = best_of(run_query)
         timings[name] = round(dt, 3)
         reps_raw[name] = [round(r, 3) for r in raw]
+
+    # ---- LLM-retrieval family at >=10^5-doc corpus (VERDICT r4 item 4) -
+    # The sf tables are small (5k docs / 2k vectors at sf0.1), so fixed
+    # costs dominate and plan regressions hide. Expand ONCE into a temp
+    # sf-layout dir — documents x32 (160k docs; a per-replica suffix
+    # keeps texts distinct while cross-replica passages stay duplicated,
+    # stressing the dup-gram groupBy), embeddings x8 (16k base vectors;
+    # ann_ivf_scaled's own 16x in-query expansion then quantizes 256k) —
+    # and time the UNCHANGED contract plans against it. Expansion is
+    # outside the timed region.
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps32 = spark.range(32).select(F.col("id").cast("int").alias("r"))
+    (
+        docs.crossJoin(F.broadcast(reps32))
+        .select(
+            (F.col("doc_id") * 32 + F.col("r")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rep"), F.col("r")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite").parquet(f"{corpus_dir}/documents.parquet")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps8 = spark.range(8).select(F.col("id").cast("int").alias("r8"))
+    (
+        emb.crossJoin(F.broadcast(reps8))
+        .select(
+            (F.col("vec_id") * 8 + F.col("r8")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> cast(cast(x as double)"
+                " + ((r8 * (i + 3)) % 5) * 0.25d as float))"
+            ).alias("embedding"),
+            "label",
+        )
+        .write.mode("overwrite").parquet(f"{corpus_dir}/embeddings.parquet")
+    )
+    n_big_docs = 32 * docs.count()
+    for name in ("text_bm25_topk", "dedup_passages", "ann_ivf_scaled"):
+        def run_big(name=name):
+            df = queries[name](spark, corpus_dir)
+            df.write.format("noop").mode("overwrite").save()
+
+        dt, raw = best_of(run_big)
+        timings[name] = round(dt, 3)
+        reps_raw[name] = [round(r, 3) for r in raw]
+    throughput["retrieval_corpus_docs"] = n_big_docs
+    throughput["ivf_corpus_vectors"] = 16 * 8 * emb.count()
+    shutil.rmtree(corpus_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

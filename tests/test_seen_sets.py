@@ -76,6 +76,79 @@ def test_crawl_dedup_with_approx_seen_modes(spark, tmp_path):
         assert {r.url for r in res.url_seen.collect()} == exact_seen, mode
 
 
+def test_bloom_incremental_commits_dirty_partitions_only(spark, tmp_path):
+    """VERDICT r4 item 5: a batch touching few partitions must commit
+    only those partitions' bitsets (manifest-recorded), not rewrite all
+    P blobs — and novelty semantics must be unchanged."""
+    from web_scraper_spark.operators.seen import BloomURLSeenSet
+
+    bloom = BloomURLSeenSet(spark, str(tmp_path / "bi"), num_partitions=8)
+    assert bloom.filter_and_add(_urls(spark, 0, 2000)).count() == 2000
+
+    manifest1 = bloom.table._read_manifest()
+    dirs1 = bloom.table._current_dirs(manifest1)
+    pid_map1 = bloom._dir_pid_map(manifest1)
+    assert len(dirs1) == 1 and len(pid_map1[dirs1[0]]) == 8  # all dirty
+
+    # batch 2: three urls -> at most 3 dirty partitions
+    few = _urls(spark, 2000, 2003)
+    assert bloom.filter_and_add(few).count() == 3
+    manifest2 = bloom.table._read_manifest()
+    dirs2 = bloom.table._current_dirs(manifest2)
+    assert len(dirs2) == 2 and dirs2[0] == dirs1[0]  # append, no rewrite
+    new_pids = bloom._dir_pid_map(manifest2)[dirs2[1]]
+    assert 1 <= len(new_pids) <= 3
+
+    # latest-wins state: everything seen so far filters to zero novel
+    assert bloom.filter_and_add(_urls(spark, 0, 2003)).count() == 0
+
+    # all-duplicate batch dirties nothing -> manifest-only no-op (no dir)
+    n_dirs_before = len(bloom.table._current_dirs())
+    assert bloom.filter_and_add(few).count() == 0
+    assert len(bloom.table._current_dirs()) == n_dirs_before
+
+
+def test_bloom_compact_collapses_generations(spark, tmp_path):
+    """compact() must resolve latest-wins FIRST (a naive snapshot rewrite
+    would read stale generations of a partition alongside fresh ones)."""
+    from web_scraper_spark.operators.seen import BloomURLSeenSet
+
+    bloom = BloomURLSeenSet(spark, str(tmp_path / "bc"), num_partitions=4)
+    for lo in (0, 500, 1000):
+        bloom.filter_and_add(_urls(spark, lo, lo + 700))
+    assert len(bloom.table._current_dirs()) == 3
+    bloom.compact()
+    dirs = bloom.table._current_dirs()
+    assert len(dirs) == 1
+    assert bloom.table.read().count() == 4  # one blob per partition
+    # semantics preserved: all seen urls stay seen, new urls stay novel
+    assert bloom.filter_and_add(_urls(spark, 0, 1700)).count() == 0
+    assert bloom.filter_and_add(_urls(spark, 1700, 1800)).count() == 100
+
+
+def test_bloom_orphan_dir_is_invisible(spark, tmp_path):
+    """The commit's crash window (bits dir renamed into data/, manifest
+    not yet replaced) must leave the table reading the OLD state — the
+    manifest, not the directory listing, defines the snapshot."""
+    import os
+
+    from web_scraper_spark.operators.seen import BloomURLSeenSet
+
+    bloom = BloomURLSeenSet(spark, str(tmp_path / "bo"), num_partitions=4)
+    batch = _urls(spark, 0, 800)
+    bloom.filter_and_add(batch)
+
+    # simulate the crash: an orphan data dir full of bogus bits
+    orphan = bloom.table._new_data_dir()
+    os.makedirs(orphan)
+    spark.createDataFrame(
+        [(0, bytes(bloom.m // 8))], "partition_id int, bits binary"
+    ).write.mode("overwrite").parquet(orphan)
+
+    # state read ignores the orphan; re-offering the batch finds 0 novel
+    assert bloom.filter_and_add(batch).count() == 0
+
+
 def test_exact_seen_compact_dedups(spark, tmp_path):
     """ADVICE r1: resume re-adds are idempotent only if compaction
     collapses the (hash, url) duplicates — URLSeenSet owns that."""

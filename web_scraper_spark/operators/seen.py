@@ -27,6 +27,8 @@ fixture scale (where Bloom is sized to zero collisions).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -169,16 +171,55 @@ class BloomURLSeenSet:
         self.m = bits_per_partition
         self.k = num_hashes
 
+    _PIDS_KEY = "bloom_dir_pids"
+
+    def _dir_pid_map(self, manifest: dict) -> dict:
+        """dir -> list[pid] for INCREMENTAL state dirs of the current
+        snapshot (carried in the snapshot's extra); dirs absent from the
+        map are FULL snapshots (every partition) from compact/legacy."""
+        cur = manifest.get("current")
+        if cur is None:
+            return {}
+        snap = next(s for s in manifest["snapshots"] if s["id"] == cur)
+        return (snap.get("extra") or {}).get(self._PIDS_KEY, {})
+
     def _state(self) -> DataFrame:
-        df = self.table.read()
-        if df is None:
+        """Latest-wins view, one row per partition. Dirs are read
+        NEWEST-first; an incremental dir contributes only its recorded
+        dirty pids (minus pids already claimed by a newer dir); the first
+        FULL dir contributes the remainder and shadows everything older.
+        No extra shuffle — the cogroup repartitions state regardless."""
+        manifest = self.table._read_manifest()
+        dirs = self.table._current_dirs(manifest)
+        if not dirs:
             return self.spark.createDataFrame([], _BLOOM_STATE_SCHEMA)
-        return df
+        pid_map = self._dir_pid_map(manifest)
+        frames: list[DataFrame] = []
+        claimed: set[int] = set()
+        for d in reversed(dirs):
+            df = self.spark.read.parquet(d).select("partition_id", "bits")
+            pids = pid_map.get(d)
+            if pids is None:  # full snapshot dir — take the rest, stop
+                if claimed:
+                    df = df.where(~F.col("partition_id").isin(*claimed))
+                frames.append(df)
+                break
+            take = [p for p in pids if p not in claimed]
+            if take:
+                frames.append(df.where(F.col("partition_id").isin(*take)))
+                claimed.update(take)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def compact(self) -> None:
-        """Bitset state is overwritten whole per insert — compaction just
-        rewrites the current snapshot into one directory."""
-        self.table.compact()
+        """Collapse the incremental generations into ONE full dir holding
+        the latest blob per partition (latest-wins resolved first — a
+        plain snapshot rewrite would resurrect stale generations)."""
+        if not self.table.exists():
+            return
+        self.table.overwrite(self._state())
 
     def filter_and_add(self, candidates: DataFrame, insert: bool = True) -> DataFrame:
         """One pass: returns the NOVEL URLS (column ``url`` only) and —
@@ -188,7 +229,18 @@ class BloomURLSeenSet:
         first, checkpoint, then call again with ``insert=True``.
         Callers needing the full candidate rows join against the result —
         the common paths (counting, enqueueing plain URLs) skip that
-        second shuffle entirely."""
+        second shuffle entirely.
+
+        State commits are INCREMENTAL (VERDICT r4 item 5): merge emits a
+        bitset blob only for DIRTY partitions (>=1 new bit set), the
+        scratch write splits urls/bits via partitionBy, and the bits
+        subdir is renamed into the table + committed manifest-only — per
+        batch the state I/O is O(touched partitions) written ONCE, never
+        a second whole-table rewrite. At the 10^10 design point (1024 x
+        1 GiB bitsets) a batch touching 5% of partitions commits ~50 GiB
+        instead of 2 TiB. All dirty blobs land in ONE dir + ONE manifest
+        rename, so the commit stays atomic — there is no partial-bitset
+        crash window."""
         m, k = self.m, self.k
         do_insert = insert
 
@@ -204,6 +256,7 @@ class BloomURLSeenSet:
             else:
                 bits = np.zeros(m // 8, dtype=np.uint8)
             frames = []
+            dirty = False
             if len(cand_iter):
                 # fully vectorized: dedup batch, test all, then set bits
                 cand_iter = cand_iter.drop_duplicates("url")
@@ -213,10 +266,11 @@ class BloomURLSeenSet:
                 masks = (1 << (pos & 7)).astype(np.uint8)
                 present = ((bits[bytes_idx] & masks) == masks).all(axis=1)
                 fresh = ~present
-                if do_insert:
+                if do_insert and fresh.any():
                     np.bitwise_or.at(
                         bits, bytes_idx[fresh].ravel(), masks[fresh].ravel()
                     )
+                    dirty = True  # a fresh URL always sets >=1 new bit
                 out_urls = cand_iter["url"].to_numpy()[fresh]
                 frames.append(
                     pd.DataFrame(
@@ -228,16 +282,21 @@ class BloomURLSeenSet:
                         }
                     )
                 )
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "kind": ["bits"],
-                        "url": [None],
-                        "partition_id": [pid],
-                        "bits": [bits.tobytes()],
-                    }
+            if dirty:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "kind": ["bits"],
+                            "url": [None],
+                            "partition_id": [pid],
+                            "bits": [bits.tobytes()],
+                        }
+                    )
                 )
-            )
+            if not frames:
+                return pd.DataFrame(
+                    {"kind": [], "url": [], "partition_id": [], "bits": []}
+                )
             return pd.concat(frames, ignore_index=True)
 
         result = (
@@ -245,21 +304,50 @@ class BloomURLSeenSet:
             .cogroup(state.groupBy("partition_id"))
             .applyInPandas(merge, _BLOOM_OUT_SCHEMA)
         )
-        # single materialization: write the mixed (urls + bitsets) output
-        # once, then carve both halves out of the parquet — caching 10^7
-        # url rows in executor memory and recomputing the cogroup are both
-        # avoided (predicate pushdown makes the bits re-read ~free)
+        # single materialization, split by kind at write time: urls and
+        # dirty bitsets land in sibling subdirs of one scratch write —
+        # caching 10^7 url rows in executor memory and recomputing the
+        # cogroup are both avoided, and the bits subdir can be committed
+        # by RENAME instead of a second Spark write.
         scratch = _next_scratch(self.table.root)
-        result.write.mode("overwrite").parquet(scratch)
-        back = self.spark.read.parquet(scratch)
+        result.write.mode("overwrite").partitionBy("kind").parquet(scratch)
         if do_insert:
-            # cogroup invokes merge for EVERY key on either side, so each
-            # state partition is always re-emitted — overwrite directly
-            new_bits = back.where(F.col("kind") == "bits").select(
-                "partition_id", "bits"
+            self._commit_dirty_bits(os.path.join(scratch, "kind=bits"))
+        return self._read_novel_urls(os.path.join(scratch, "kind=url"))
+
+    def _read_novel_urls(self, url_dir: str) -> DataFrame:
+        if not os.path.isdir(url_dir):  # zero novel URLs in the batch
+            return self.spark.createDataFrame([], "url string")
+        return self.spark.read.parquet(url_dir).select("url")
+
+    def _commit_dirty_bits(self, bits_dir: str) -> None:
+        """Rename the scratch bits subdir into the table and commit it
+        manifest-only, recording which pids it carries (the latest-wins
+        read needs that to shadow older generations without opening
+        them). Crash windows match append(): before the rename nothing
+        changed; between rename and manifest replace the dir is an
+        unreferenced orphan — the table still reads the old state."""
+        if not os.path.isdir(bits_dir):  # no dirty partitions
+            return
+        import pathlib
+
+        import pyarrow.parquet as pq
+
+        pids: list[int] = []
+        for f in pathlib.Path(bits_dir).glob("*.parquet"):
+            pids.extend(
+                pq.read_table(str(f), columns=["partition_id"])
+                .column("partition_id").to_pylist()
             )
-            self.table.overwrite(new_bits)
-        return back.where(F.col("kind") == "url").select("url")
+        manifest = self.table._read_manifest()
+        new_dir = self.table._new_data_dir()
+        os.replace(bits_dir, new_dir)
+        pid_map = dict(self._dir_pid_map(manifest))
+        pid_map[new_dir] = sorted(pids)
+        self.table.commit_dirs(
+            self.table._current_dirs(manifest) + [new_dir],
+            extra={self._PIDS_KEY: pid_map},
+        )
 
 
 def _cuckoo_fp(h: np.ndarray) -> np.ndarray:

@@ -1647,6 +1647,27 @@ def ann_ivf_multiprobe(spark, sf_dir):
     return _ivf_topk(spark, sf_dir, nprobe=2)
 
 
+_EMB_DIM = 64  # contract-wide embedding width (the oracles hardcode range(1,65))
+
+
+def _l2sq_embedding_centroid(cast_to_double: bool) -> Column:
+    """Unrolled squared-L2 distance between the ``embedding`` and
+    ``centroid`` array columns. Bit-identical to the
+    aggregate(zip_with(...)) fold it replaces — same left-associative
+    accumulation from 0.0 in element order — but fully inside
+    whole-stage codegen: higher-order-function lambdas evaluate
+    interpreted, which dominated the k-means assign at a 256k-vector
+    corpus (~2M candidate rows x 64 dims x 3 passes)."""
+    acc = F.lit(0.0)
+    for i in range(_EMB_DIM):
+        x = F.col("embedding")[i]
+        if cast_to_double:
+            x = x.cast("double")
+        d = x - F.col("centroid")[i]
+        acc = acc + d * d
+    return acc
+
+
 # Iterative algorithm — k-means (Lloyd's) in pure DataFrame ops, used as
 # a REAL trained coarse quantizer for IVF ANN. The oracle (_sql_kmeans,
 # below) unrolls the fixed 3 Lloyd iterations as chained DuckDB CTEs.
@@ -1662,18 +1683,21 @@ def ann_ivf_kmeans(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def assign(df, cents):
-        """Nearest-centroid assignment via one broadcast join."""
+        """Nearest-centroid assignment via one broadcast join + min_by
+        argmin (tie to low cid, same order as the oracle). min_by is
+        partial-aggregatable, so the K per-vector candidate rows collapse
+        map-side and ONE copy of each embedding crosses the shuffle — the
+        previous per-vec_id row_number window shuffled all K array copies
+        and sorted them (measured ~4x slower at a 256k-vector corpus)."""
         j = df.crossJoin(F.broadcast(cents))
-        d2 = F.aggregate(
-            F.zip_with(F.col("embedding"), F.col("centroid"),
-                       lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        d2 = _l2sq_embedding_centroid(cast_to_double=True)
         return (
             j.withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid"),
+                F.first("embedding").alias("embedding"),
+            )
             .select("vec_id", "embedding", "cid")
         )
 
@@ -1688,12 +1712,15 @@ def ann_ivf_kmeans(spark, sf_dir):
     for _ in range(3):  # Lloyd iterations
         assigned = assign(e, cents)
         cents = (
-            assigned.select("cid", F.posexplode("embedding").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(F.avg("x").alias("c"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("cs"))
-            .select("cid", F.transform(F.col("cs"), lambda s: s["c"]).alias("centroid"))
+            # per-dim avg as 64 flat aggregates: the posexplode form
+            # shuffled corpus x dim rows twice; this shuffles K x 64
+            # partial sums and stays in codegen (same values, fp-order
+            # differences ~1e-15 — far below the round-6 comparison)
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("embedding")[i]).alias(f"c{i}")
+                   for i in range(_EMB_DIM)])
+            .select("cid", F.array(*[F.col(f"c{i}")
+                                     for i in range(_EMB_DIM)]).alias("centroid"))
         )
         # truncate the LOGICAL plan per iteration, not just execution —
         # the repo invariant for iterative DataFrame ops (CLAUDE.md;
@@ -1743,19 +1770,28 @@ def ann_ivf_scaled(spark, sf_dir):
             " + ((r * i) % 8) * 0.25d)"
         ).alias("embedding"),
     )
+    # materialize the expanded corpus ONCE: e feeds five downstream scans
+    # (2 Lloyd assigns, centroid rollups, the final assign, the probe) and
+    # the transform() expansion evaluates interpreted (no codegen for
+    # higher-order functions) — lazily it re-ran per scan, dominating the
+    # wall at a 256k-vector corpus. At real scale the corpus is a stored
+    # table, which is exactly what the checkpoint emulates.
+    e = e.localCheckpoint(eager=True)
 
     def assign(df, cents):
+        # min_by argmin, ties to low cid — see ann_ivf_kmeans.assign:
+        # partial aggregation collapses the K candidate rows map-side,
+        # one embedding copy per vector crosses the shuffle; d2 unrolled
+        # into codegen (embeddings here are already double)
         j = df.crossJoin(F.broadcast(cents))
-        d2 = F.aggregate(
-            F.zip_with(F.col("embedding"), F.col("centroid"),
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        d2 = _l2sq_embedding_centroid(cast_to_double=False)
         return (
             j.withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid"),
+                F.first("embedding").alias("embedding"),
+            )
             .select("vec_id", "embedding", "cid")
         )
 
@@ -1768,12 +1804,15 @@ def ann_ivf_scaled(spark, sf_dir):
     for _ in range(2):  # Lloyd iterations (oracle unrolls the same 2)
         assigned = assign(e, cents)
         cents = (
-            assigned.select("cid", F.posexplode("embedding").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(F.avg("x").alias("c"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("cs"))
-            .select("cid", F.transform(F.col("cs"), lambda s: s["c"]).alias("centroid"))
+            # per-dim avg as 64 flat aggregates: the posexplode form
+            # shuffled corpus x dim rows twice; this shuffles K x 64
+            # partial sums and stays in codegen (same values, fp-order
+            # differences ~1e-15 — far below the round-6 comparison)
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("embedding")[i]).alias(f"c{i}")
+                   for i in range(_EMB_DIM)])
+            .select("cid", F.array(*[F.col(f"c{i}")
+                                     for i in range(_EMB_DIM)]).alias("centroid"))
             .localCheckpoint(eager=True)
         )
 
@@ -2374,23 +2413,42 @@ def _passage_grams(words):
     """,
 )
 def dedup_passages(spark, sf_dir):
+    # Perf shape (r5, measured at a 160k-doc corpus): (a) hash on FLAT
+    # columns after exploding window-start positions — the transform()-
+    # lambda formulation evaluates interpreted (higher-order functions
+    # are outside whole-stage codegen) and ran ~50x slower; (b) ONE gram
+    # scan + two slim shuffles (gh window for the distinct-doc count,
+    # doc_id rollup) instead of three independent scans of the gram
+    # subtree (dup / per_doc / totals each re-exploded + re-hashed).
+    # Values are identical to the original 3-scan plan (integer counts).
     d = _t(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id", F.explode(_passage_grams(_words(F.col("text")))).alias("gh")
+    words = d.select("doc_id", _words(F.col("text")).alias("words"))
+    g = (
+        words.select(
+            "doc_id",
+            "words",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("words") - (_PASSAGE_W - 1), F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            hash60(
+                F.concat_ws(" ", F.slice(F.col("words"), F.col("i"), _PASSAGE_W))
+            ).alias("gh"),
+        )
     )
-    dup = (
-        g.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gh")
+    w = Window.partitionBy("gh")
+    flagged = g.withColumn("nd", F.size(F.collect_set("doc_id").over(w)))
+    per = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("total_grams"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("dup_grams"),
     )
-    per_doc = g.join(dup, "gh").groupBy("doc_id").agg(
-        F.count("*").alias("dup_grams")
-    )
-    totals = g.groupBy("doc_id").agg(F.count("*").alias("total_grams"))
     return (
-        totals.join(per_doc, "doc_id")
-        .where(F.col("dup_grams") / F.col("total_grams") >= 0.2)
+        per.where(F.col("dup_grams") / F.col("total_grams") >= 0.2)
         .select(
             "doc_id",
             "total_grams",
