@@ -47,8 +47,31 @@ def assign_rounds_window(frontier: DataFrame, budget: int) -> DataFrame:
     )
 
 
+class PolitenessCheckpoint:
+    """Explicit release handle for the frozen range-shuffled input behind
+    an ``assign_rounds_range`` result (ADVICE r4: the release bookkeeping
+    used to ride a raw RDD-id list on the DataFrame plus a
+    ``getPersistentRDDs`` lookup at release time — racy under concurrent
+    persists and doubly dependent on private JVM APIs). The handle holds
+    the checkpointed JVM RDD reference captured AT CREATION, so release
+    is a direct idempotent ``unpersist`` with no registry lookup."""
+
+    __slots__ = ("_jrdd",)
+
+    def __init__(self, jrdd=None):
+        self._jrdd = jrdd
+
+    def release(self) -> None:
+        jrdd, self._jrdd = self._jrdd, None
+        if jrdd is not None:
+            jrdd.unpersist(True)
+
+
 def assign_rounds_range(
-    frontier: DataFrame, budget: int, materialize: bool = True
+    frontier: DataFrame,
+    budget: int,
+    materialize: bool = True,
+    release_handle: list | None = None,
 ) -> DataFrame:
     """Skew-safe equivalent: range partition + local ranks + tiny prefix
     offsets broadcast back — fully distributed, nothing touches the
@@ -88,16 +111,30 @@ def assign_rounds_range(
         F.col("host"), *[F.col(c) for c in ORDER_COLS]
     ).sortWithinPartitions("host", *ORDER_COLS)
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
-    ckpt_ids: list = []
+    handle = PolitenessCheckpoint()
     if materialize:
         # freeze partitioning + intra-partition order + _pid in one pass
         with_pid = with_pid.localCheckpoint(eager=True)
-        # read the checkpointed RDD id straight off the LogicalRDD leaf —
-        # diffing getPersistentRDDs before/after is racy under concurrent
-        # persists (e.g. a live streaming ingest checkpointing its own
-        # batch on the same session would get captured and released)
-        leaf = with_pid._jdf.queryExecution().analyzed().collectLeaves().apply(0)
-        ckpt_ids = [leaf.rdd().id()]
+        try:
+            # the checkpointed JVM RDD sits on the LogicalRDD leaf; grab
+            # the reference NOW so release needs no registry lookup
+            leaf = (
+                with_pid._jdf.queryExecution().analyzed().collectLeaves().apply(0)
+            )
+            handle = PolitenessCheckpoint(leaf.rdd())
+        except Exception:  # pragma: no cover — Spark-internals drift
+            # a Spark upgrade moving the leaf shape must not break the
+            # crawl: fall back to the JVM ContextCleaner freeing the
+            # blocks on GC (lazier, but correct), and say so loudly
+            import warnings
+
+            warnings.warn(
+                "politeness: checkpoint-leaf introspection failed; "
+                "blocks will be freed by the ContextCleaner on GC "
+                "instead of deterministically at release_rounds()",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     # fragment counts (metadata scale: one row per (partition, host));
     # running per-host prefix offset over _pid order, keep straddlers only
@@ -146,10 +183,14 @@ def assign_rounds_range(
         )
         .drop("_pid", "_local_rank", "_offset")
     )
-    # remember the input checkpoint's RDD ids so release_rounds() can free
-    # the blocks deterministically (JVM weak-ref cleanup is too lazy to
-    # rely on in a 100-depth crawl)
-    out._politeness_ckpt_ids = ckpt_ids
+    # hand the release handle to the caller: appended to ``release_handle``
+    # when given (the explicit API — survives any wrapper transformation),
+    # and also carried on the result for the release_rounds(df) back-compat
+    # path (JVM weak-ref cleanup is too lazy to rely on in a 100-depth
+    # crawl, so deterministic release matters)
+    if release_handle is not None:
+        release_handle.append(handle)
+    out._politeness_ckpt = handle
     return out
 
 
@@ -160,19 +201,22 @@ def release_rounds(assigned: DataFrame) -> None:
     Call ONLY once the assignment has been durably consumed (e.g. written
     to the frontier snapshot) — the checkpoint truncated the lineage, so
     any later action on ``assigned`` fails loudly. No-op for results
-    produced with ``materialize=False`` or via the ``window`` method."""
-    ids = getattr(assigned, "_politeness_ckpt_ids", None)
-    if not ids:
-        return
-    jmap = assigned.sparkSession.sparkContext._jsc.getPersistentRDDs()
-    for i in ids:
-        rdd = jmap.get(i)
-        if rdd is not None:
-            rdd.unpersist(True)
-    assigned._politeness_ckpt_ids = []
+    produced with ``materialize=False`` or via the ``window`` method.
+    NOTE: this convenience wrapper needs the ORIGINAL returned DataFrame
+    object (a wrapper transformation drops the attribute); callers adding
+    transformations between assign and release should pass
+    ``release_handle=[...]`` to ``assign_rounds`` and release that."""
+    handle = getattr(assigned, "_politeness_ckpt", None)
+    if handle is not None:
+        handle.release()
 
 
-def assign_rounds(frontier: DataFrame, budget: int | None, method: str = "range") -> DataFrame:
+def assign_rounds(
+    frontier: DataFrame,
+    budget: int | None,
+    method: str = "range",
+    release_handle: list | None = None,
+) -> DataFrame:
     """Adds ``round_offset`` (0 = fetch this round). budget=None -> all 0.
 
     Default is the skew-safe ``range`` method: at the 10^9-hot-host design
@@ -183,7 +227,7 @@ def assign_rounds(frontier: DataFrame, budget: int | None, method: str = "range"
         return frontier.withColumn("round_offset", F.lit(0).cast("long"))
     if method == "window":
         return assign_rounds_window(frontier, budget)
-    return assign_rounds_range(frontier, budget)
+    return assign_rounds_range(frontier, budget, release_handle=release_handle)
 
 
 def salted_key(host: Column, url: Column, salt_buckets: int = 16) -> Column:
