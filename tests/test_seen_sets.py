@@ -149,6 +149,40 @@ def test_bloom_orphan_dir_is_invisible(spark, tmp_path):
     assert bloom.filter_and_add(batch).count() == 0
 
 
+def test_cuckoo_incremental_commits_and_delete_dirty(spark, tmp_path):
+    """Cuckoo shares the incremental blob-commit machinery: small batches
+    and deletions commit only the touched partitions; all-duplicate
+    batches commit nothing."""
+    from web_scraper_spark.operators.seen import CuckooURLSeenSet
+
+    ck = CuckooURLSeenSet(spark, str(tmp_path / "ci"), num_partitions=8)
+    assert ck.filter_and_add(_urls(spark, 0, 1500)).count() == 1500
+    dirs1 = ck.table._current_dirs()
+    assert len(dirs1) == 1
+
+    few = _urls(spark, 1500, 1502)
+    assert ck.filter_and_add(few).count() == 2
+    manifest = ck.table._read_manifest()
+    dirs2 = ck.table._current_dirs(manifest)
+    assert len(dirs2) == 2
+    assert 1 <= len(ck._dir_pid_map(manifest)[dirs2[1]]) <= 2
+
+    # all-dupe batch: nothing dirty, no new dir
+    assert ck.filter_and_add(few).count() == 0
+    assert len(ck.table._current_dirs()) == 2
+
+    # deletion dirties only the touched partitions and makes urls novel again
+    ck.delete(few)
+    assert len(ck.table._current_dirs()) == 3
+    assert ck.filter_and_add(few, insert=False).count() == 2
+
+    # compact collapses generations, semantics preserved
+    ck.compact()
+    assert len(ck.table._current_dirs()) == 1
+    assert ck.filter_and_add(_urls(spark, 0, 1500)).count() == 0
+    assert ck.filter_and_add(few).count() == 2
+
+
 def test_exact_seen_compact_dedups(spark, tmp_path):
     """ADVICE r1: resume re-adds are idempotent only if compaction
     collapses the (hash, url) duplicates — URLSeenSet owns that."""

@@ -148,30 +148,17 @@ def _bloom_positions(hashes: np.ndarray, k: int, m: int) -> np.ndarray:
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
 
 
-class BloomURLSeenSet:
-    """Bloom-mode seen set: per-partition bitsets in a SnapshotTable.
+class _BlobStateSeenSet:
+    """Shared machinery for seen sets whose state is P per-partition
+    binary blobs in a SnapshotTable (Bloom bitsets, cuckoo slot tables):
+    incremental dirty-partition commits, latest-wins reads, and the
+    compaction that collapses generations (VERDICT r4 item 5)."""
 
-    ``bits_per_partition`` defaults to 2^23 bits (1 MiB) per partition;
-    with k=7 that holds ~600k URLs/partition at <1% FP. Size up for the
-    10^10 design point: 1024 partitions x 2^33 bits = 1 TiB of bitset
-    spread across executors, ~10^10 URLs at <1% FP.
-    """
+    spark: SparkSession
+    table: SnapshotTable
+    P: int
 
-    def __init__(
-        self,
-        spark: SparkSession,
-        root: str,
-        num_partitions: int = 32,
-        bits_per_partition: int = 1 << 23,
-        num_hashes: int = 7,
-    ):
-        self.spark = spark
-        self.table = SnapshotTable(spark, root)
-        self.P = num_partitions
-        self.m = bits_per_partition
-        self.k = num_hashes
-
-    _PIDS_KEY = "bloom_dir_pids"
+    _PIDS_KEY = "blob_dir_pids"
 
     def _dir_pid_map(self, manifest: dict) -> dict:
         """dir -> list[pid] for INCREMENTAL state dirs of the current
@@ -220,6 +207,65 @@ class BloomURLSeenSet:
         if not self.table.exists():
             return
         self.table.overwrite(self._state())
+
+
+    def _read_novel_urls(self, url_dir: str) -> DataFrame:
+        if not os.path.isdir(url_dir):  # zero novel URLs in the batch
+            return self.spark.createDataFrame([], "url string")
+        return self.spark.read.parquet(url_dir).select("url")
+
+    def _commit_dirty_bits(self, bits_dir: str) -> None:
+        """Rename the scratch bits subdir into the table and commit it
+        manifest-only, recording which pids it carries (the latest-wins
+        read needs that to shadow older generations without opening
+        them). Crash windows match append(): before the rename nothing
+        changed; between rename and manifest replace the dir is an
+        unreferenced orphan — the table still reads the old state."""
+        if not os.path.isdir(bits_dir):  # no dirty partitions
+            return
+        import pathlib
+
+        import pyarrow.parquet as pq
+
+        pids: list[int] = []
+        for f in pathlib.Path(bits_dir).glob("*.parquet"):
+            pids.extend(
+                pq.read_table(str(f), columns=["partition_id"])
+                .column("partition_id").to_pylist()
+            )
+        manifest = self.table._read_manifest()
+        new_dir = self.table._new_data_dir()
+        os.replace(bits_dir, new_dir)
+        pid_map = dict(self._dir_pid_map(manifest))
+        pid_map[new_dir] = sorted(pids)
+        self.table.commit_dirs(
+            self.table._current_dirs(manifest) + [new_dir],
+            extra={self._PIDS_KEY: pid_map},
+        )
+
+
+class BloomURLSeenSet(_BlobStateSeenSet):
+    """Bloom-mode seen set: per-partition bitsets in a SnapshotTable.
+
+    ``bits_per_partition`` defaults to 2^23 bits (1 MiB) per partition;
+    with k=7 that holds ~600k URLs/partition at <1% FP. Size up for the
+    10^10 design point: 1024 partitions x 2^33 bits = 1 TiB of bitset
+    spread across executors, ~10^10 URLs at <1% FP.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_partitions: int = 32,
+        bits_per_partition: int = 1 << 23,
+        num_hashes: int = 7,
+    ):
+        self.spark = spark
+        self.table = SnapshotTable(spark, root)
+        self.P = num_partitions
+        self.m = bits_per_partition
+        self.k = num_hashes
 
     def filter_and_add(self, candidates: DataFrame, insert: bool = True) -> DataFrame:
         """One pass: returns the NOVEL URLS (column ``url`` only) and —
@@ -315,39 +361,6 @@ class BloomURLSeenSet:
             self._commit_dirty_bits(os.path.join(scratch, "kind=bits"))
         return self._read_novel_urls(os.path.join(scratch, "kind=url"))
 
-    def _read_novel_urls(self, url_dir: str) -> DataFrame:
-        if not os.path.isdir(url_dir):  # zero novel URLs in the batch
-            return self.spark.createDataFrame([], "url string")
-        return self.spark.read.parquet(url_dir).select("url")
-
-    def _commit_dirty_bits(self, bits_dir: str) -> None:
-        """Rename the scratch bits subdir into the table and commit it
-        manifest-only, recording which pids it carries (the latest-wins
-        read needs that to shadow older generations without opening
-        them). Crash windows match append(): before the rename nothing
-        changed; between rename and manifest replace the dir is an
-        unreferenced orphan — the table still reads the old state."""
-        if not os.path.isdir(bits_dir):  # no dirty partitions
-            return
-        import pathlib
-
-        import pyarrow.parquet as pq
-
-        pids: list[int] = []
-        for f in pathlib.Path(bits_dir).glob("*.parquet"):
-            pids.extend(
-                pq.read_table(str(f), columns=["partition_id"])
-                .column("partition_id").to_pylist()
-            )
-        manifest = self.table._read_manifest()
-        new_dir = self.table._new_data_dir()
-        os.replace(bits_dir, new_dir)
-        pid_map = dict(self._dir_pid_map(manifest))
-        pid_map[new_dir] = sorted(pids)
-        self.table.commit_dirs(
-            self.table._current_dirs(manifest) + [new_dir],
-            extra={self._PIDS_KEY: pid_map},
-        )
 
 
 def _cuckoo_fp(h: np.ndarray) -> np.ndarray:
@@ -364,7 +377,7 @@ def _cuckoo_indices(h: np.ndarray, fp: np.ndarray, m: int):
     return i1, i2
 
 
-class CuckooURLSeenSet:
+class CuckooURLSeenSet(_BlobStateSeenSet):
     """Cuckoo-filter mode: per-partition partial-key cuckoo tables
     (buckets x 4 slots of 16-bit fingerprints) behind the same
     ``filter_and_add`` interface as Bloom. Trade-offs vs Bloom:
@@ -396,24 +409,15 @@ class CuckooURLSeenSet:
         self.P = num_partitions
         self.m = buckets_per_partition
 
-    def _state(self) -> DataFrame:
-        df = self.table.read()
-        if df is None:
-            return self.spark.createDataFrame([], _BLOOM_STATE_SCHEMA)
-        return df
-
-    def compact(self) -> None:
-        """Slot state is overwritten whole per insert — compaction just
-        rewrites the current snapshot into one directory."""
-        self.table.compact()
-
     def filter_and_add(
         self, candidates: DataFrame, delete: bool = False, insert: bool = True
     ) -> DataFrame:
         """delete=False: returns novel urls + (when ``insert``) stores
         them — ``insert=False`` is the crash-safe test-only pass (see
         BloomURLSeenSet.filter_and_add). delete=True: removes the given
-        urls from the filter instead."""
+        urls from the filter instead. State commits are incremental, like
+        Bloom's: only partitions whose slot table actually CHANGED (an
+        insert landed or a deletion zeroed a slot) emit a blob."""
         m, P, max_kicks = self.m, self.P, self.MAX_KICKS
         do_insert = insert
         # plain module functions only — a bound method would drag `self`
@@ -433,6 +437,7 @@ class CuckooURLSeenSet:
             else:
                 slots = np.zeros((m, 4), dtype=np.uint16)
             frames = []
+            changed = False
             if len(cand_iter):
                 cand_iter = cand_iter.drop_duplicates("url")
                 h = cand_iter["hash"].to_numpy().astype(np.int64).view(np.uint64)
@@ -449,6 +454,7 @@ class CuckooURLSeenSet:
                             hit = np.nonzero(slots[b] == fp[row])[0]
                             if len(hit):
                                 slots[b, hit[0]] = 0
+                                changed = True
                                 break
                     novel_urls = np.array([], dtype=object)
                 else:
@@ -463,7 +469,7 @@ class CuckooURLSeenSet:
                             empty = np.nonzero(slots[b] == 0)[0]
                             if len(empty):
                                 slots[b, empty[0]] = f
-                                placed = True
+                                placed = changed = True
                                 break
                         if not placed:
                             b = i1[row]
@@ -476,7 +482,7 @@ class CuckooURLSeenSet:
                                 empty = np.nonzero(slots[b] == 0)[0]
                                 if len(empty):
                                     slots[b, empty[0]] = f
-                                    placed = True
+                                    placed = changed = True
                                     break
                             if not placed:
                                 # kick exhaustion: UNDO the eviction chain
@@ -493,12 +499,17 @@ class CuckooURLSeenSet:
                              "partition_id": pid, "bits": None}
                         )
                     )
-            frames.append(
-                pd.DataFrame(
-                    {"kind": ["bits"], "url": [None], "partition_id": [pid],
-                     "bits": [slots.tobytes()]}
+            if changed:
+                frames.append(
+                    pd.DataFrame(
+                        {"kind": ["bits"], "url": [None], "partition_id": [pid],
+                         "bits": [slots.tobytes()]}
+                    )
                 )
-            )
+            if not frames:
+                return pd.DataFrame(
+                    {"kind": [], "url": [], "partition_id": [], "bits": []}
+                )
             return pd.concat(frames, ignore_index=True)
 
         result = (
@@ -507,16 +518,10 @@ class CuckooURLSeenSet:
             .applyInPandas(merge, _BLOOM_OUT_SCHEMA)
         )
         scratch = _next_scratch(self.table.root)
-        result.write.mode("overwrite").parquet(scratch)
-        back = self.spark.read.parquet(scratch)
+        result.write.mode("overwrite").partitionBy("kind").parquet(scratch)
         if do_insert or delete:
-            # cogroup invokes merge for EVERY key on either side, so each
-            # state partition is always re-emitted — overwrite directly
-            new_bits = back.where(F.col("kind") == "bits").select(
-                "partition_id", "bits"
-            )
-            self.table.overwrite(new_bits)
-        return back.where(F.col("kind") == "url").select("url")
+            self._commit_dirty_bits(os.path.join(scratch, "kind=bits"))
+        return self._read_novel_urls(os.path.join(scratch, "kind=url"))
 
     def delete(self, urls: DataFrame) -> None:
         self.filter_and_add(urls, delete=True)

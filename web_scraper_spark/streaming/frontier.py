@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from web_scraper_spark.functions.urls import host_of, prepare_url, strip_ws
-from web_scraper_spark.operators.politeness import assign_rounds, release_rounds
+from web_scraper_spark.operators.politeness import assign_rounds
 from web_scraper_spark.sources.tables import SnapshotTable
 from web_scraper_spark.streaming.dedup import dedup_stream
 
@@ -62,14 +62,18 @@ def ingest_seed_stream(
             F.col("url").alias("seed_url"),
             F.lit(None).cast("string").alias("caption"),
         ).withColumn("priority", F.col("seed_idx").cast("double"))
-        assigned = assign_rounds(frontier, politeness_budget)
+        handles: list = []
+        assigned = assign_rounds(
+            frontier, politeness_budget, release_handle=handles
+        )
         try:
             table.append(assigned, tag=f"batch-{batch_id}")
         finally:
             # in finally: a failed/retried micro-batch re-runs land() with
             # a fresh checkpoint — without this the first attempt's blocks
-            # leak once per retry
-            release_rounds(assigned)
+            # leak once per retry. Explicit handle (ADVICE r4).
+            for h in handles:
+                h.release()
 
     return (
         novel.writeStream.foreachBatch(land)
