@@ -2613,3 +2613,121 @@ def hybrid_search_rrf(spark, sf_dir):
     top = fused.orderBy(F.desc("fused_score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("fused_score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition score (Gopher/C4-style quality gate: a doc
+# whose word 3-grams repeat heavily is boilerplate/spam). rep_frac =
+# (total - distinct) / total 3-grams PER DOC — the within-doc sibling of
+# dedup_passages' cross-doc span detection. Scale shape: explode window
+# positions (codegen — r5 discipline, no transform() lambda on the hot
+# path), hash on flat columns, ONE groupBy(doc_id) carrying
+# count + approx-free countDistinct. New in r5: registered OUTSIDE the
+# driver window (position 88+), rotates in at r6.
+@register(
+    "text_repetition_score",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               [array_to_string(words[i:i+2], ' ')
+                for i in range(1, greatest(len(words) - 1, 2))],
+               s -> {_SQL_H60.format("s")})) AS gh
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
+    )
+    SELECT doc_id,
+           count(*) AS total_grams,
+           count(DISTINCT gh) AS distinct_grams,
+           round((count(*) - count(DISTINCT gh)) * 1.0 / count(*), 6) AS rep_frac
+    FROM g GROUP BY doc_id
+    """,
+)
+def text_repetition_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", _words(F.col("text")).alias("words"))
+    g = (
+        words.select(
+            "doc_id",
+            "words",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1)))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            hash60(F.concat_ws(" ", F.slice(F.col("words"), F.col("i"), 3))).alias("gh"),
+        )
+    )
+    return g.groupBy("doc_id").agg(
+        F.count("*").alias("total_grams"),
+        F.countDistinct("gh").alias("distinct_grams"),
+        F.round(
+            (F.count("*") - F.countDistinct("gh")) * F.lit(1.0) / F.count("*"), 6
+        ).alias("rep_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — redact emails / NANP phone shapes before training (the
+# standard pre-training privacy pass). The word-soup corpus has no PII,
+# so the query injects synthetic markers deterministically by doc_id
+# (shared literal with the oracle), then scrubs with RE2-and-Java-safe
+# patterns (no lookaround, ASCII classes). Scale shape: pure per-row
+# Catalyst regexp_replace/extract_all — embarrassingly parallel, no
+# shuffle at all. New in r5: outside the driver window, rotates in r6.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+@register(
+    "text_scrub_pii",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || doc_id || '@example.com now'
+                          WHEN doc_id % 3 = 1
+                          THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567'
+                          ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+    FROM injected
+    """,
+)
+def text_scrub_pii(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-4567"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
