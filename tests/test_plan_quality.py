@@ -90,7 +90,14 @@ def test_distributed_topk_everywhere(spark, sf_dir):
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    for name in ("tokens_topk", "q18_large_volume", "ann_ivf_topk"):
+    # q3/q10 rank via row_number over a GLOBAL window + rn<=k filter:
+    # Catalyst's LimitPushDownThroughWindow must turn that into a
+    # distributed Sort+Limit BEFORE the window (the window then runs
+    # over k rows only) — verified r5; pinned so a refactor that breaks
+    # the rewrite pattern (e.g. an expression between filter and window)
+    # fails here instead of becoming a single-partition global sort.
+    for name in ("tokens_topk", "q18_large_volume", "ann_ivf_topk",
+                 "q3_top_orders", "q10_returned_revenue"):
         plan = _plan(qs[name](spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, name
 
