@@ -2731,3 +2731,101 @@ def text_scrub_pii(spark, sf_dir):
             "<PHONE>",
         ).alias("scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup with document reconstruction (CCNet/RefinedWeb
+# boilerplate-line removal) — the write-path half that dedup_passages
+# (detection-only) doesn't do: drop every "line" that appears in >= 3
+# distinct documents, then REASSEMBLE each document from its kept lines.
+# The synthetic corpus has no newlines, so a "line" is a non-overlapping
+# 8-word segment (boundary chunking documented here and in the oracle);
+# a shared 8-word boilerplate header is prepended to doc_id%4==0 docs
+# (shared literal with the oracle) so the scrub is non-vacuous at every
+# SF — exactly 8 words keeps the original chunk alignment intact.
+# Scale shape: ONE segment explode, frequency via a gh-keyed window
+# (same slim shuffle as dedup_passages), reconstruction via
+# sort_array(collect_list(struct(i, seg))) — per-doc payload only, no
+# all-pairs anywhere, no interpreted HOF on the corpus-scale path
+# (field extraction `arr.seg` is Catalyst ExtractValue, not a lambda).
+_LINE_W = 8
+_LINE_BOILER = "subscribe to our newsletter today for free offers"
+
+
+@register(
+    "dedup_line_scrub",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(CASE WHEN doc_id % 4 = 0
+                               THEN '{_LINE_BOILER} ' || trim(text)
+                               ELSE trim(text) END, ' ') AS words
+      FROM documents),
+    segs AS (
+      SELECT doc_id, i,
+             array_to_string(words[(i-1)*{_LINE_W}+1:(i-1)*{_LINE_W}+{_LINE_W}], ' ') AS seg
+      FROM (SELECT doc_id, words,
+                   unnest(range(1, greatest(CAST(ceil(len(words)/{_LINE_W}.0) AS BIGINT), 1)+1)) AS i
+            FROM docs)),
+    freq AS (
+      SELECT {_SQL_H60.format("seg")} AS gh, count(DISTINCT doc_id) AS nd
+      FROM segs GROUP BY 1),
+    flag AS (
+      SELECT s.doc_id, s.i, s.seg, f.nd
+      FROM segs s JOIN freq f ON {_SQL_H60.format("s.seg")} = f.gh)
+    SELECT doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS removed_segs,
+           {_SQL_H60.format("coalesce(string_agg(CASE WHEN nd < 3 THEN seg END, ' ' ORDER BY i), '')")} AS scrubbed_hash
+    FROM flag GROUP BY doc_id
+    """,
+)
+def dedup_line_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        _words(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(_LINE_BOILER + " "), F.trim(F.col("text"))),
+            ).otherwise(F.trim(F.col("text")))
+        ).alias("words"),
+    )
+    segs = (
+        words.select(
+            "doc_id",
+            "words",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.ceil(F.size("words") / F.lit(float(_LINE_W))).cast("int"),
+                        F.lit(1),
+                    ),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ", F.slice(F.col("words"), (F.col("i") - 1) * _LINE_W + 1, _LINE_W)
+            ).alias("seg"),
+        )
+    )
+    w = Window.partitionBy(hash60(F.col("seg")))
+    flagged = segs.withColumn("nd", F.size(F.collect_set("doc_id").over(w)))
+    kept = F.when(F.col("nd") < 3, F.struct(F.col("i"), F.col("seg")))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.when(F.col("nd") >= 3, 1).otherwise(0)).alias("removed_segs"),
+            F.sort_array(F.collect_list(kept)).alias("kept_segs"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "removed_segs",
+            hash60(F.concat_ws(" ", F.col("kept_segs.seg"))).alias("scrubbed_hash"),
+        )
+    )
