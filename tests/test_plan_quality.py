@@ -97,7 +97,7 @@ def test_distributed_topk_everywhere(spark, sf_dir):
     # the rewrite pattern (e.g. an expression between filter and window)
     # fails here instead of becoming a single-partition global sort.
     for name in ("tokens_topk", "q18_large_volume", "ann_ivf_topk",
-                 "q3_top_orders", "q10_returned_revenue"):
+                 "q3_top_orders", "q10_returned_revenue", "ann_int8_topk"):
         plan = _plan(qs[name](spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, name
 

@@ -2829,3 +2829,72 @@ def dedup_line_scrub(spark, sf_dir):
             hash60(F.concat_ws(" ", F.col("kept_segs.seg"))).alias("scrubbed_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN over int8 scalar-quantized embeddings — the memory/bandwidth lever
+# of vector search at corpus scale (float32 -> int8 is a 4x cut in scan
+# bytes before any index structure). Symmetric quantization: one global
+# scale s = max|v| over the corpus (a 1-row aggregate, broadcast via
+# crossJoin — collect-free), q_i = round(v_i / s * 127); scoring is the
+# EXACT integer dot product of quantized vectors, so the contract value
+# is a BIGINT with no float-compare hazard. All 64 dims unrolled as flat
+# codegen-able expressions (HOF lambdas evaluate interpreted — the
+# r5 discipline); top-k is a distributed TakeOrderedAndProject, never a
+# single-partition global sort. round() emits an integral-valued double
+# on both engines BEFORE the int cast, so the cast is unambiguous
+# (DuckDB double->BIGINT rounds ties-to-even; never cast a fractional
+# double cross-engine).
+_QDIM = 64
+
+
+def _q8(col: Column, scale: Column) -> Column:
+    return F.round(col.cast("double") / scale * 127, 0).cast("long")
+
+
+@register(
+    "ann_int8_topk",
+    f"""
+    WITH s AS (
+      SELECT max(greatest({", ".join(f"abs(embedding[{i+1}]::DOUBLE)" for i in range(_QDIM))})) AS maxabs
+      FROM embeddings),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT a.vec_id, a.label,
+             ({" + ".join(
+                 f"CAST(round(a.embedding[{i+1}]::DOUBLE / s.maxabs * 127) AS BIGINT)"
+                 f" * CAST(round(q.embedding[{i+1}]::DOUBLE / s.maxabs * 127) AS BIGINT)"
+                 for i in range(_QDIM))}) AS qdot
+      FROM embeddings a, q, s WHERE a.vec_id <> 0)
+    SELECT vec_id, label, qdot,
+           row_number() OVER (ORDER BY qdot DESC, vec_id ASC) AS rank
+    FROM (SELECT * FROM scored ORDER BY qdot DESC, vec_id ASC LIMIT 10)
+    """,
+)
+def ann_int8_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    maxabs = F.greatest(
+        *[F.abs(F.col("embedding")[i].cast("double")) for i in range(_QDIM)]
+    )
+    stats = e.agg(F.max(maxabs).alias("maxabs"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    j = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(stats))
+    )
+    terms = [
+        _q8(F.col("embedding")[i], F.col("maxabs"))
+        * _q8(F.col("q_emb")[i], F.col("maxabs"))
+        for i in range(_QDIM)
+    ]
+    qdot = terms[0]
+    for t in terms[1:]:
+        qdot = qdot + t
+    top = (
+        j.select("vec_id", "label", qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("qdot"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
