@@ -2898,3 +2898,64 @@ def ann_int8_topk(spark, sf_dir):
     )
     w = Window.orderBy(F.desc("qdot"), F.asc("vec_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality filter — rare-token scoring (the CCNet-style
+# "LM surprise" stage, exact-arithmetic formulation). Unlike
+# text_quality_score (per-doc heuristics), this one needs GLOBAL corpus
+# statistics: a token-frequency table (one vocab-bounded groupBy) joined
+# back to the exploded tokens (shuffle keyed on token — both sides
+# already partitioned by the groupBy key), plus a 1-row total broadcast.
+# "Rare" is RELATIVE (count < total/1000), so the query is scale-
+# invariant and non-vacuous at every SF; a long-tail marker token
+# ("xq" || doc_id % 97) is appended per doc (shared literal with the
+# oracle) since the word-soup vocab has no natural tail. All contract
+# values are exact BIGINTs or a round()-of-identical-IEEE-division —
+# no log()/ulp hazard (the q7 lesson applied pre-emptively).
+@register(
+    "text_unigram_rarity",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text) || ' xq' || CAST(doc_id % 97 AS VARCHAR), ' ')) AS token
+      FROM documents),
+    freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT count(*) AS total FROM toks)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN f.cnt < tot.total / 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           min(f.cnt) AS min_count,
+           round(CAST(sum(CASE WHEN f.cnt < tot.total / 1000.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 6) AS rare_frac
+    FROM toks t JOIN freq f USING (token), tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_rarity(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            _words(
+                F.concat(
+                    F.trim(F.col("text")),
+                    F.lit(" xq"),
+                    (F.col("doc_id") % 97).cast("string"),
+                )
+            )
+        ).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("total"))
+    rare = F.when(F.col("cnt") < F.col("total") / 1000.0, 1).otherwise(0)
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(rare).alias("n_rare"),
+            F.min("cnt").alias("min_count"),
+            F.round(F.sum(rare) / F.count("*"), 6).alias("rare_frac"),
+        )
+    )
