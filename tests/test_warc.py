@@ -1,0 +1,103 @@
+"""WARC source/sink: roundtrip over real fetch results, foreign-record
+parsing, and the malformed-row contract."""
+
+import gzip
+
+import pyspark.sql.functions as F
+import pytest
+
+from web_scraper_spark.sources.warc import (
+    _parse_warc_bytes, read_warc, write_warc,
+)
+
+
+@pytest.fixture(scope="module")
+def fetched(spark):
+    from web_scraper_spark.sources.fetch import fetch_join
+    from web_scraper_spark.sources.synthetic_web import web_host_df
+
+    web = web_host_df(spark, 20)
+    frontier = web.select("url").limit(200)
+    return fetch_join(frontier, web).select(
+        "url", "status", "content_type", F.col("body")
+    )
+
+
+def test_roundtrip_fetch_results(spark, fetched, tmp_path):
+    path = str(tmp_path / "warc")
+    manifest = write_warc(fetched, path).collect()
+    n_written = sum(r.n_records for r in manifest)
+    assert n_written == fetched.count()
+    assert all(r.n_bytes > 0 for r in manifest if r.file)
+
+    back = read_warc(spark, path)
+    want = {
+        (r.url, int(r.status or 0), r.content_type, bytes(r.body or b""))
+        for r in fetched.collect()
+    }
+    got = {
+        (r.url, r.status, r.content_type, bytes(r.body or b""))
+        for r in back.collect()
+    }
+    assert got == want
+
+
+def test_deterministic_record_ids(spark, fetched, tmp_path):
+    p1, p2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    write_warc(fetched, p1).collect()
+    write_warc(fetched, p2).collect()
+    ids1 = {r.url: r.record_id for r in read_warc(spark, p1).collect()}
+    ids2 = {r.url: r.record_id for r in read_warc(spark, p2).collect()}
+    assert ids1 == ids2
+    assert all(v.startswith("<urn:uuid:") for v in ids1.values())
+
+
+def test_null_url_skipped_null_body_empty(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("http://a.test/", 200, "text/html", b"<html>a</html>"),
+            (None, 200, "text/html", b"dropped"),
+            ("http://b.test/timeout", 0, None, None),
+        ],
+        "url string, status int, content_type string, body binary",
+    )
+    path = str(tmp_path / "warc")
+    manifest = write_warc(df, path).collect()
+    assert sum(r.n_records for r in manifest) == 2
+    rows = {r.url: r for r in read_warc(spark, path).collect()}
+    assert set(rows) == {"http://a.test/", "http://b.test/timeout"}
+    assert bytes(rows["http://a.test/"].body) == b"<html>a</html>"
+    assert rows["http://b.test/timeout"].status == 0
+    assert bytes(rows["http://b.test/timeout"].body) == b""
+
+
+def test_parses_foreign_records():
+    """Reader handles records this writer never produces: an uncompressed
+    stream, a request record to skip, LF-free payload boundaries."""
+    req = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: request\r\n"
+        b"WARC-Record-ID: <urn:uuid:req-1>\r\n"
+        b"Content-Length: 4\r\n\r\nGET /\r\n\r\n"
+    )
+    body = b"\x89binary\x00payload"
+    http = b"HTTP/1.1 404 Not Found\r\nContent-Type: image/png\r\n\r\n" + body
+    resp = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.test/img\r\n"
+        b"WARC-Date: 2026-02-03T04:05:06Z\r\n"
+        b"WARC-Record-ID: <urn:uuid:resp-1>\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    for raw in (req + resp, gzip.compress(req) + gzip.compress(resp)):
+        recs = _parse_warc_bytes(raw)
+        assert len(recs) == 1
+        r = recs[0]
+        assert r["url"] == "http://x.test/img"
+        assert r["status"] == 404
+        assert r["content_type"] == "image/png"
+        assert r["body"] == body
+        assert r["warc_date"] == "2026-02-03T04:05:06Z"
