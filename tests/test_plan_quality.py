@@ -246,3 +246,36 @@ def test_new_tpch_broadcast_dims(spark, sf_dir):
         plan = _plan(qs[name](spark, sf_dir))
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two same-bucketed tables sort-merge join with ZERO Exchange — the
+    co-located big-big join recipe (sources/bucketing.py). Broadcast is
+    disabled so the test proves bucketing, not small-table luck."""
+    from web_scraper_spark.sources.bucketing import colocated_join, write_bucketed
+
+    a = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS vb")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(a, "pq_bkt_a", "k", buckets=8, path=str(tmp_path / "a"))
+        write_bucketed(b, "pq_bkt_b", "k", buckets=8, path=str(tmp_path / "b"))
+        j = colocated_join(spark, "pq_bkt_a", "pq_bkt_b", "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert j.count() == 5000
+        # the UNbucketed control pays two exchanges — proves the assert
+        # above is load-bearing, not a quirk of the plan printer
+        control = _plan(
+            spark.read.parquet(str(tmp_path / "a")).join(
+                spark.read.parquet(str(tmp_path / "b")), "k"
+            )
+        )
+        assert "Exchange" in control
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS pq_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS pq_bkt_b")
