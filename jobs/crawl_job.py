@@ -51,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--proxy", default=None,
                    help="optional http forward proxy for --live (absolute-URI proxying)")
     p.add_argument("--fetch-timeout", type=float, default=15.0)
+    p.add_argument("--warc", action="store_true",
+                   help="archive every fetch attempt as gzipped WARC under <workdir>/warc/round=NNNNN/")
     p.add_argument("--metrics-log", default=None,
                    help="optional rotating JSON-lines file for per-round metrics (reference A10 log-file sink analog)")
     args = p.parse_args(argv)
@@ -97,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
         live=args.live,
         live_proxy=args.proxy,
         live_timeout_s=args.fetch_timeout,
+        export_warc=args.warc,
     )
     if args.metrics_log:
         from web_scraper_spark.sources.logsink import RotatingJsonLogSink

