@@ -2959,3 +2959,65 @@ def text_unigram_rarity(spark, sf_dir):
             F.round(F.sum(rare) / F.count("*"), 6).alias("rare_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination — the embedding-space complement to
+# decontaminate_ngrams: flag every corpus vector whose cosine similarity
+# to ANY benchmark vector clears the threshold (paraphrased eval leakage
+# that n-gram overlap misses). Benchmark set = vec_ids 0-2 (3 rows,
+# broadcast); threshold 0.35 (the corpus's structureless-embedding
+# ceiling is ~0.48, so the report is non-vacuous — memory note r2).
+# Scale shape: corpus x |benchmark| via a broadcast nested loop (the
+# benchmark side is eval suites — thousands of rows at worst), per-key
+# argmax over a BOUNDED 3-candidate window, never corpus x corpus. The
+# dot accumulates in element order on both engines (bit-identical), so
+# the >= threshold cut is deterministic cross-engine.
+_DECON_BENCH_IDS = (0, 1, 2)
+_DECON_TAU = 0.35
+
+
+@register(
+    "decontaminate_semantic",
+    f"""
+    WITH bench AS (
+      SELECT vec_id AS bench_id, embedding AS b_emb FROM embeddings
+      WHERE vec_id IN {str(_DECON_BENCH_IDS)}),
+    scored AS (
+      SELECT a.vec_id, a.label, b.bench_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> a.embedding[i]::DOUBLE * b.b_emb[i]::DOUBLE)) /
+             (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+              sqrt(list_sum(list_transform(b.b_emb, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+      FROM embeddings a, bench b
+      WHERE a.vec_id NOT IN {str(_DECON_BENCH_IDS)}),
+    best AS (
+      SELECT vec_id, label, bench_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, bench_id DESC) AS rn
+      FROM scored)
+    SELECT vec_id, label, bench_id, round(cos, 6) AS cos
+    FROM best WHERE rn = 1 AND cos >= {_DECON_TAU}
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.where(F.col("vec_id").isin(*_DECON_BENCH_IDS)).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("b_emb")
+    )
+    scored = (
+        e.where(~F.col("vec_id").isin(*_DECON_BENCH_IDS))
+        .crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            "label",
+            "bench_id",
+            cosine(F.col("embedding"), F.col("b_emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.desc("bench_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("cos") >= _DECON_TAU))
+        .select("vec_id", "label", "bench_id", F.round("cos", 6).alias("cos"))
+    )
