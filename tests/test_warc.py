@@ -190,3 +190,60 @@ def test_reprocess_extracts_from_archive(spark, tmp_path):
         if r.url in got
     }
     assert got == want
+
+
+def test_warc_codec_fuzz():
+    """Property fuzz: compose records through the writer's primitives and
+    parse them back — adversarial bodies (embedded 'WARC/1.0', CRLFCRLF,
+    gzip magic, NULs) must survive because framing is Content-Length-
+    driven, never delimiter-scanning."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from web_scraper_spark.sources.warc import (
+        _record_id, _response_payload, _warc_record,
+    )
+
+    adversarial = st.sampled_from(
+        [b"WARC/1.0\r\n", b"\r\n\r\n", b"\x1f\x8b", b"\x00", b"Content-Length: 7\r\n"]
+    )
+    body_strategy = st.lists(
+        st.one_of(st.binary(max_size=40), adversarial), max_size=8
+    ).map(b"".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=999),
+                st.text(
+                    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                    min_size=1, max_size=30,
+                ),
+                body_strategy,
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    def roundtrip(rows):
+        blob = b"".join(
+            _warc_record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Record-ID", _record_id(f"http://f.test/{i}")),
+                    ("WARC-Date", "2026-01-01T00:00:00Z"),
+                    ("WARC-Target-URI", f"http://f.test/{i}"),
+                    ("Content-Type", "application/http;msgtype=response"),
+                ],
+                _response_payload(status, ctype, body),
+            )
+            for i, (status, ctype, body) in enumerate(rows)
+        )
+        recs = _parse_warc_bytes(blob)
+        assert len(recs) == len(rows)
+        for i, ((status, ctype, body), rec) in enumerate(zip(rows, recs)):
+            assert rec["url"] == f"http://f.test/{i}"
+            assert rec["status"] == status
+            assert rec["body"] == body
+
+    roundtrip()
