@@ -2872,6 +2872,13 @@ def _q8(col: Column, scale: Column) -> Column:
     """,
 )
 def ann_int8_topk(spark, sf_dir):
+    # The dot product is staged as 8 partial-sum COLUMNS of 8 terms each,
+    # then summed — NOT one 64-term expression: a single ~400-node chain
+    # exceeds janino's 64 KB method limit, whole-stage codegen fails to
+    # compile (ERROR CodeGenerator), and the whole scan silently drops to
+    # interpreted eval (measured at a 16k-vector corpus; the split
+    # compiles clean with bit-identical output). Same integer math, same
+    # left-assoc order within and across chunks.
     e = _t(spark, sf_dir, "embeddings")
     maxabs = F.greatest(
         *[F.abs(F.col("embedding")[i].cast("double")) for i in range(_QDIM)]
@@ -2883,16 +2890,29 @@ def ann_int8_topk(spark, sf_dir):
         .crossJoin(F.broadcast(q))
         .crossJoin(F.broadcast(stats))
     )
-    terms = [
-        _q8(F.col("embedding")[i], F.col("maxabs"))
-        * _q8(F.col("q_emb")[i], F.col("maxabs"))
-        for i in range(_QDIM)
-    ]
-    qdot = terms[0]
-    for t in terms[1:]:
-        qdot = qdot + t
+    chunk = 8
+
+    def psum(lo: int, hi: int) -> Column:
+        terms = [
+            _q8(F.col("embedding")[i], F.col("maxabs"))
+            * _q8(F.col("q_emb")[i], F.col("maxabs"))
+            for i in range(lo, hi)
+        ]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s
+
+    parts = j.select(
+        "vec_id",
+        "label",
+        *[psum(c, c + chunk).alias(f"_s{c}") for c in range(0, _QDIM, chunk)],
+    )
+    qdot = F.col("_s0")
+    for c in range(chunk, _QDIM, chunk):
+        qdot = qdot + F.col(f"_s{c}")
     top = (
-        j.select("vec_id", "label", qdot.alias("qdot"))
+        parts.select("vec_id", "label", qdot.alias("qdot"))
         .orderBy(F.desc("qdot"), F.asc("vec_id"))
         .limit(10)
     )
