@@ -51,6 +51,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--proxy", default=None,
                    help="optional http forward proxy for --live (absolute-URI proxying)")
     p.add_argument("--fetch-timeout", type=float, default=15.0)
+    p.add_argument("--recrawl-max-age", type=float, default=None,
+                   help="freshness mode: re-crawl seeds whose last attempt in <workdir>'s "
+                        "crawl log is older than this many seconds, merging results back")
     p.add_argument("--warc", action="store_true",
                    help="archive every fetch attempt as gzipped WARC under <workdir>/warc/round=NNNNN/")
     p.add_argument("--metrics-log", default=None,
@@ -79,6 +82,30 @@ def main(argv: list[str] | None = None) -> int:
         )
         seeds = [r["domain"] or "" for r in rows]
         web = None
+
+    if args.recrawl_max_age is not None:
+        from web_scraper_spark.plans.recrawl import recrawl
+
+        sub, stale = recrawl(
+            spark, seeds, web, args.workdir,
+            max_age_s=args.recrawl_max_age,
+            politeness_budget=args.politeness_budget,
+            politeness_method=args.politeness_method,
+            dedup_contacts=args.dedup,
+            max_depth=args.max_depth,
+            use_robots=args.use_robots,
+            robots_agent=args.robots_agent,
+            live=args.live,
+            live_proxy=args.proxy,
+            live_timeout_s=args.fetch_timeout,
+            export_warc=args.warc,
+        )
+        print(json.dumps({
+            "recrawled_seeds": stale,
+            "fetch_attempts": sub.crawl_log.count() if sub else 0,
+        }))
+        spark.stop()
+        return 0
 
     from web_scraper_spark.plans.crawl import run_crawl
 

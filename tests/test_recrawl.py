@@ -125,3 +125,28 @@ def test_recrawl_changed_page_refreshes_records(spark, crawled):
     # its cleaned form (clean_phone_number strips separators, B8)
     assert new_phones[: len(old_phones)] == old_phones
     assert "2125559999" in new_phones[len(old_phones):]
+
+
+def test_crawl_job_recrawl_mode(spark, tmp_path, capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import crawl_job
+
+    wd = str(tmp_path / "crawl")
+    rc = crawl_job.main(["--synthetic-domains", "6", "--workdir", wd])
+    assert rc == 0
+    first = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    rc = crawl_job.main(
+        ["--synthetic-domains", "6", "--workdir", wd, "--recrawl-max-age", "0"]
+    )
+    assert rc == 0
+    second = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    # age 0 => every seed stale; the sub-crawl repeats the same attempts
+    assert len(second["recrawled_seeds"]) > 0
+    assert second["fetch_attempts"] == first["fetch_attempts"]
