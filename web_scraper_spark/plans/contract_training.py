@@ -3041,3 +3041,230 @@ def decontaminate_semantic(spark, sf_dir):
         .where((F.col("rn") == 1) & (F.col("cos") >= _DECON_TAU))
         .select("vec_id", "label", "bench_id", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk documents into fixed-token-budget
+# training sequences (the GPT-style packer: shard-local doc order,
+# cumulative token offsets, sequence id = start_offset // budget; a doc
+# whose token span crosses a budget boundary "straddles" and is split at
+# materialization time).  Scale shape: the running sum windows over
+# SHARDS (doc_id % 8 here; in production the shard count ~= cluster
+# parallelism), so the only shuffle is the shard hash partition and each
+# shard's ordered window sorts locally — never a global single-partition
+# ordered window.  Packing shard-locally is also what a real pipeline
+# does: training shards are independent files, so offsets only need to
+# be consistent WITHIN a shard.
+_PACK_BUDGET = 64
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT *,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS start_off
+      FROM toks)
+    SELECT shard, doc_id, n_tokens,
+           start_off // {_PACK_BUDGET} AS seq_id,
+           start_off % {_PACK_BUDGET} AS seq_offset,
+           CAST(CASE WHEN start_off % {_PACK_BUDGET} + n_tokens > {_PACK_BUDGET}
+                     THEN 1 ELSE 0 END AS BIGINT) AS straddles
+    FROM cum
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(_words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    off = F.col("start_off") % _PACK_BUDGET
+    return cum.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("start_off") / _PACK_BUDGET).cast("long").alias("seq_id"),
+        off.alias("seq_offset"),
+        F.when(off + F.col("n_tokens") > _PACK_BUDGET, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("straddles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture resampling — rebalance source contributions by token
+# mass with temperature-0.5 rates (rate_s = sqrt(min_tokens / tokens_s):
+# the heaviest sources are downsampled toward token parity, softened by
+# the square root exactly like multilingual-corpus temperature
+# sampling).  Selection is a deterministic hash Bernoulli — keep a doc
+# iff hash60('mix|' || doc_id) % 1e6 < floor(rate * 1e6) — so both
+# engines pick the identical subset with NO rand() anywhere.  Rates are
+# bit-identical cross-engine: integer token sums are exact, and the
+# min/divide/sqrt pipeline is one correctly-rounded IEEE op each.
+# Scale shape: one tiny per-source stats aggregate (|sources| rows,
+# broadcast back), then a single filter pass over the corpus and one
+# per-source re-aggregate — no all-corpus shuffle beyond the groupBys.
+@register(
+    "corpus_mix_sample",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+      FROM documents),
+    stats AS (
+      SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_toks
+      FROM toks GROUP BY source),
+    rates AS (
+      SELECT source, n_docs, n_toks,
+             sqrt((SELECT min(n_toks) FROM stats) / n_toks) AS rate
+      FROM stats),
+    kept AS (
+      SELECT t.source, t.doc_id, t.n_tokens
+      FROM toks t JOIN rates r USING (source)
+      WHERE {_SQL_H60.format("'mix|' || CAST(t.doc_id AS VARCHAR)")} % 1000000
+            < CAST(floor(r.rate * 1000000) AS BIGINT))
+    SELECT r.source, r.n_docs, r.n_toks, round(r.rate, 6) AS rate,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens
+    FROM rates r LEFT JOIN (
+      SELECT source, count(*)::BIGINT AS n_kept,
+             sum(n_tokens)::BIGINT AS kept_tokens
+      FROM kept GROUP BY source) k USING (source)
+    """,
+)
+def corpus_mix_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(_words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    stats = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_toks")
+    )
+    floor_toks = stats.agg(F.min("n_toks").alias("min_toks"))
+    # |sources| rows; materialize ONCE — the rates table feeds both the
+    # keep-filter broadcast and the final report join, and without the
+    # checkpoint each consumer re-runs the corpus-wide stats scan
+    # (3 corpus scans instead of the honest 2-pass minimum).
+    rates = (
+        stats.crossJoin(F.broadcast(floor_toks))
+        .select(
+            "source",
+            "n_docs",
+            "n_toks",
+            F.sqrt(F.col("min_toks") / F.col("n_toks")).alias("rate"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bucket = hash60(
+        F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))
+    ) % 1000000
+    kept = (
+        toks.join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(bucket < F.floor(F.col("rate") * 1000000).cast("long"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_toks",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-corpus) near-dedup — the ingest-time variant of
+# dedup_minhash_lsh: a NEW batch (doc_id % 3 == 0) is minhashed and
+# joined against the accumulated OLD corpus's band table (doc_id % 3
+# != 0); a new doc reporting >= 1 shared (band, minhash) bucket with any
+# old doc is a near-dup candidate and gets quarantined before it enters
+# the corpus.  This is the production shape at 100 TB: the old side's
+# band table is precomputed and stored bucketed by (band, minhash), so
+# each new batch costs ONE bucketed join — never a corpus x corpus or
+# even corpus-rescan pass.  Same 8 affine prime-field permutations and
+# shared literals as dedup_minhash_lsh.
+@register(
+    "dedup_incremental",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform({_SQL_SHINGLES},
+                            s -> {_SQL_H60.format("s")} % {_MERSENNE}) AS hs
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
+    ),
+    mh AS (SELECT doc_id, {_SQL_MINHASHES} FROM sh),
+    bands AS ({_SQL_MH_UNION})
+    SELECT n.doc_id AS new_doc,
+           count(DISTINCT o.doc_id) AS n_old_matches,
+           min(o.doc_id) AS first_old_match
+    FROM bands n JOIN bands o
+      ON n.band = o.band AND n.minhash = o.minhash
+     AND n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+    GROUP BY n.doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    hs = F.transform(_shingles(words), lambda s: hash60(s) % _MERSENNE)
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE
+
+    minhashes = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), _perm(a, b)))
+            for a, b in _BAND_COEF
+        ]
+    )
+    # One minhash pass over the whole corpus, materialized once (same
+    # rationale as dedup_minhash_lsh: the (id, band, minhash) table is
+    # tiny relative to text at any corpus size).  In production the old
+    # side would be read back from its stored band table instead.
+    mh = (
+        d.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.posexplode(minhashes).alias("band", "minhash"))
+        .localCheckpoint(eager=True)
+    )
+    new = mh.where(F.col("doc_id") % 3 == 0).alias("n")
+    old = mh.where(F.col("doc_id") % 3 != 0).alias("o")
+    return (
+        new.join(
+            old,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.minhash") == F.col("o.minhash")),
+        )
+        .groupBy(F.col("n.doc_id").alias("new_doc"))
+        .agg(
+            F.countDistinct(F.col("o.doc_id")).alias("n_old_matches"),
+            F.min(F.col("o.doc_id")).alias("first_old_match"),
+        )
+    )
