@@ -230,7 +230,13 @@ def main() -> None:
         .write.mode("overwrite").parquet(f"{corpus_dir}/embeddings.parquet")
     )
     n_big_docs = 32 * docs.count()
-    for name in ("text_bm25_topk", "dedup_passages", "ann_ivf_scaled"):
+    for name in (
+        "text_bm25_topk",
+        "dedup_passages",
+        "ann_ivf_scaled",
+        "pack_sequences",
+        "corpus_mix_sample",
+    ):
         def run_big(name=name):
             df = queries[name](spark, corpus_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -123,6 +123,54 @@ _SQL_MH_UNION = " UNION ALL ".join(
 )
 
 
+def _minhash_bands(d):
+    """(doc_id, band, minhash) rows for the corpus — the shared LSH
+    front half of dedup_minhash_lsh / dedup_incremental, materialized
+    once via localCheckpoint.
+
+    Perf shape (r5 HOF-codegen discipline, measured at a 160k-doc
+    corpus): shingle hashes are computed on FLAT columns after exploding
+    window-start positions, and the 8 permuted minima are ONE partial-
+    aggregatable groupBy (8 min() aggregates) — the original
+    transform()/array_min lambda formulation evaluates interpreted
+    (higher-order functions sit outside whole-stage codegen) and ran
+    ~20x slower. Values are bit-identical: same shingle positions
+    (1..max(size-2,1)), same hash60 % M, same affine permutations; min
+    over a group equals array_min over the per-doc array.
+
+    The checkpoint matters because the band table's consumers join it
+    against itself (or a filtered view): without it the broadcast-side
+    plan re-runs the shingle+md5 subtree (measured 4.2 -> 2.5 s at
+    sf0.1). The table is (id, band, minhash) only — never document
+    text — so the checkpoint stays small at any corpus size."""
+    words = d.select("doc_id", _words(F.col("text")).alias("words"))
+    flat = words.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1)))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        (
+            hash60(F.concat_ws(" ", F.slice(F.col("words"), F.col("i"), 3)))
+            % _MERSENNE
+        ).alias("h"),
+    )
+    mins = flat.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(f"m{i}")
+            for i, (a, b) in enumerate(_BAND_COEF)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)])
+        ).alias("band", "minhash"),
+    ).localCheckpoint(eager=True)
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
@@ -142,28 +190,7 @@ _SQL_MH_UNION = " UNION ALL ".join(
 )
 def dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
-    hs = F.transform(_shingles(words), lambda s: hash60(s) % _MERSENNE)
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE
-
-    minhashes = F.array(
-        *[
-            F.array_min(F.transform(F.col("hs"), _perm(a, b)))
-            for a, b in _BAND_COEF
-        ]
-    )
-    mh = (
-        d.select("doc_id", hs.alias("hs"))
-        .select("doc_id", F.posexplode(minhashes).alias("band", "minhash"))
-        # materialize the bands ONCE: the self-join otherwise executes the
-        # shingle+md5 subtree twice (the broadcast side is a full second
-        # pass — measured 4.2 -> 2.5 s at sf0.1). The table is (id, band,
-        # minhash) only — never document text — so the checkpoint stays
-        # small at any corpus size; on an SMJ-scale plan ReusedExchange
-        # would deduplicate the work, but the broadcast plan can't.
-        .localCheckpoint(eager=True)
-    )
+    mh = _minhash_bands(d)
     a = mh.alias("a")
     b = mh.alias("b")
     return (
@@ -3233,27 +3260,10 @@ def corpus_mix_sample(spark, sf_dir):
 )
 def dedup_incremental(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
-    hs = F.transform(_shingles(words), lambda s: hash60(s) % _MERSENNE)
-
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE
-
-    minhashes = F.array(
-        *[
-            F.array_min(F.transform(F.col("hs"), _perm(a, b)))
-            for a, b in _BAND_COEF
-        ]
-    )
-    # One minhash pass over the whole corpus, materialized once (same
-    # rationale as dedup_minhash_lsh: the (id, band, minhash) table is
-    # tiny relative to text at any corpus size).  In production the old
-    # side would be read back from its stored band table instead.
-    mh = (
-        d.select("doc_id", hs.alias("hs"))
-        .select("doc_id", F.posexplode(minhashes).alias("band", "minhash"))
-        .localCheckpoint(eager=True)
-    )
+    # One flat-column minhash pass over the whole corpus, materialized
+    # once (shared _minhash_bands helper).  In production the old side
+    # would be read back from its stored band table instead.
+    mh = _minhash_bands(d)
     new = mh.where(F.col("doc_id") % 3 == 0).alias("n")
     old = mh.where(F.col("doc_id") % 3 != 0).alias("o")
     return (
@@ -3267,4 +3277,250 @@ def dedup_incremental(spark, sf_dir):
             F.countDistinct(F.col("o.doc_id")).alias("n_old_matches"),
             F.min(F.col("o.doc_id")).alias("first_old_match"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — rolling-hash boundary chunking,
+# the variable-size alternative to fixed passage grams (robust to
+# insertions/deletions shifting fixed windows: a boundary depends only on
+# the local 4-word gram, so an edit re-chunks O(1) chunks, not the whole
+# doc).  A position i starts a new chunk iff i == 1 or
+# hash60(last-4-word gram ending at i) % 16 == 0 (expected chunk ~16
+# tokens); chunk ids are the per-doc running boundary count; chunk
+# content is reconstructed in position order (the dedup_line_scrub
+# sort_array(collect_list(struct)) idiom — no HOF lambdas) and hashed;
+# cross-doc duplicate chunks are counted by distinct-doc frequency.
+# Scale shape: the gram hash is a flat codegen column after exploding
+# positions; the running sum windows per doc_id (per-doc local sort);
+# the frequency window shuffles on the chunk hash — all corpus-
+# proportional, no all-pairs anywhere.
+_CDC_W = 4
+_CDC_MOD = 16
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    pos AS (
+      SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM docs),
+    flags AS (
+      SELECT doc_id, i, words[i] AS word,
+             CASE WHEN i = 1 OR
+                  {_SQL_H60.format(
+                      "array_to_string(words[greatest(i - 3, 1):i], ' ')"
+                  )} % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM pos),
+    chunks AS (
+      SELECT doc_id, i, word,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM flags),
+    ctext AS (
+      SELECT doc_id, c, string_agg(word, ' ' ORDER BY i) AS chunk
+      FROM chunks GROUP BY doc_id, c),
+    freq AS (
+      SELECT {_SQL_H60.format("chunk")} AS gh, count(DISTINCT doc_id) AS nd
+      FROM ctext GROUP BY 1)
+    SELECT t.doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           round(CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 6) AS dup_frac
+    FROM ctext t JOIN freq f ON {_SQL_H60.format("t.chunk")} = f.gh
+    GROUP BY t.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", _words(F.col("text")).alias("words"))
+    pos = words.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(1), F.size("words"))).alias("i"),
+    )
+    gram = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("words"),
+            F.greatest(F.col("i") - 3, F.lit(1)),
+            F.least(F.col("i"), F.lit(_CDC_W)),
+        ),
+    )
+    flags = pos.select(
+        "doc_id",
+        "i",
+        F.expr("element_at(words, i)").alias("word"),
+        F.when(
+            (F.col("i") == 1) | (hash60(gram) % _CDC_MOD == 0), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunks = flags.withColumn("c", F.sum("b").over(wc))
+    ctext = (
+        chunks.groupBy("doc_id", "c")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "word"))).alias("ws"))
+        .select("doc_id", "c", F.concat_ws(" ", F.col("ws.word")).alias("chunk"))
+    )
+    wch = Window.partitionBy(hash60(F.col("chunk")))
+    flagged = ctext.withColumn("nd", F.size(F.collect_set("doc_id").over(wch)))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        dup.alias("dup_chunks"),
+        F.round(dup / F.count("*"), 6).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality regression probe — closed-form least squares of n_chars on two
+# integer corpus features (token count, distinct-token count) via the
+# normal equations: ONE pass accumulates the 9 integer moments (all
+# partial-aggregatable sums, exact in BIGINT so summation order cannot
+# matter), then Cramer's rule solves the 3x3 system on the driver-free
+# 1-row result.  The float work happens AFTER aggregation on identical
+# scalar inputs with the identical hard-coded expression tree on both
+# engines, so coefficients are bit-deterministic — the same trick the
+# money-decimal convention uses, applied to regression.  This is the
+# scale-correct probe shape at 100 TB: no iterative solver, no Python,
+# one corpus pass.
+@register(
+    "quality_regression_probe",
+    """
+    WITH feats AS (
+      SELECT len(string_split(trim(text), ' '))::BIGINT AS x1,
+             len(list_distinct(string_split(trim(text), ' ')))::BIGINT AS x2,
+             len(text)::BIGINT AS y
+      FROM documents),
+    m AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x1)::BIGINT AS sx1, sum(x2)::BIGINT AS sx2,
+             sum(y)::BIGINT AS sy,
+             sum(x1 * x1)::BIGINT AS sx11, sum(x1 * x2)::BIGINT AS sx12,
+             sum(x2 * x2)::BIGINT AS sx22,
+             sum(x1 * y)::BIGINT AS sx1y, sum(x2 * y)::BIGINT AS sx2y,
+             sum(y * y)::BIGINT AS syy
+      FROM feats),
+    d AS (
+      SELECT n, sx1, sx2, sy, sx1y, sx2y, syy,
+             CAST(n AS DOUBLE) AS dn, CAST(sx1 AS DOUBLE) AS d1,
+             CAST(sx2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+             CAST(sx11 AS DOUBLE) AS d11, CAST(sx12 AS DOUBLE) AS d12,
+             CAST(sx22 AS DOUBLE) AS d22, CAST(sx1y AS DOUBLE) AS d1y,
+             CAST(sx2y AS DOUBLE) AS d2y
+      FROM m),
+    s AS (
+      SELECT n, sy, syy, sx1y, sx2y, dn, dy, d1y, d2y,
+             (dn * (d11 * d22 - d12 * d12)
+              - d1 * (d1 * d22 - d12 * d2)
+              + d2 * (d1 * d12 - d11 * d2)) AS det,
+             (dy * (d11 * d22 - d12 * d12)
+              - d1 * (d1y * d22 - d12 * d2y)
+              + d2 * (d1y * d12 - d11 * d2y)) AS det_a,
+             (dn * (d1y * d22 - d12 * d2y)
+              - dy * (d1 * d22 - d12 * d2)
+              + d2 * (d1 * d2y - d1y * d2)) AS det_b,
+             (dn * (d11 * d2y - d1y * d12)
+              - d1 * (d1 * d2y - d1y * d2)
+              + dy * (d1 * d12 - d11 * d2)) AS det_c
+      FROM d)
+    SELECT n AS n_docs,
+           round(det_a / det, 6) AS coef_intercept,
+           round(det_b / det, 6) AS coef_tokens,
+           round(det_c / det, 6) AS coef_distinct,
+           round(1 - (CAST(syy AS DOUBLE)
+                      - (det_a / det) * dy
+                      - (det_b / det) * d1y
+                      - (det_c / det) * d2y)
+                     / (CAST(syy AS DOUBLE) - dy * dy / dn), 6) AS r2
+    FROM s
+    """,
+)
+def quality_regression_probe(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    feats = d.select(
+        F.size(w).cast("long").alias("x1"),
+        F.size(F.array_distinct(w)).cast("long").alias("x2"),
+        F.length("text").cast("long").alias("y"),
+    )
+    m = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dbl = m.select(
+        "n", "sy", "syy", "sx1y", "sx2y",
+        F.col("n").cast("double").alias("dn"),
+        F.col("sx1").cast("double").alias("d1"),
+        F.col("sx2").cast("double").alias("d2"),
+        F.col("sy").cast("double").alias("dy"),
+        F.col("sx11").cast("double").alias("d11"),
+        F.col("sx12").cast("double").alias("d12"),
+        F.col("sx22").cast("double").alias("d22"),
+        F.col("sx1y").cast("double").alias("d1y"),
+        F.col("sx2y").cast("double").alias("d2y"),
+    )
+    dn, d1, d2, dy = F.col("dn"), F.col("d1"), F.col("d2"), F.col("dy")
+    d11, d12, d22 = F.col("d11"), F.col("d12"), F.col("d22")
+    d1y, d2y = F.col("d1y"), F.col("d2y")
+    s = dbl.select(
+        "n", "sy", "syy", "sx1y", "sx2y", "dn", "dy", "d1y", "d2y",
+        (
+            dn * (d11 * d22 - d12 * d12)
+            - d1 * (d1 * d22 - d12 * d2)
+            + d2 * (d1 * d12 - d11 * d2)
+        ).alias("det"),
+        (
+            dy * (d11 * d22 - d12 * d12)
+            - d1 * (d1y * d22 - d12 * d2y)
+            + d2 * (d1y * d12 - d11 * d2y)
+        ).alias("det_a"),
+        (
+            dn * (d1y * d22 - d12 * d2y)
+            - dy * (d1 * d22 - d12 * d2)
+            + d2 * (d1 * d2y - d1y * d2)
+        ).alias("det_b"),
+        (
+            dn * (d11 * d2y - d1y * d12)
+            - d1 * (d1 * d2y - d1y * d2)
+            + dy * (d1 * d12 - d11 * d2)
+        ).alias("det_c"),
+    )
+    det = F.col("det")
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(F.col("det_a") / det, 6).alias("coef_intercept"),
+        F.round(F.col("det_b") / det, 6).alias("coef_tokens"),
+        F.round(F.col("det_c") / det, 6).alias("coef_distinct"),
+        F.round(
+            1
+            - (
+                F.col("syy").cast("double")
+                - (F.col("det_a") / det) * F.col("dy")
+                - (F.col("det_b") / det) * F.col("d1y")
+                - (F.col("det_c") / det) * F.col("d2y")
+            )
+            / (
+                F.col("syy").cast("double")
+                - F.col("dy") * F.col("dy") / F.col("dn")
+            ),
+            6,
+        ).alias("r2"),
     )
