@@ -20,20 +20,18 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from web_scraper_spark.operators.minhash import (
+    BAND_COEF as _BAND_COEF,
+    MERSENNE as _MERSENNE,
+    N_MINHASH,
+    hash60,
+    minhash_bands as _minhash_bands,
+    words_of as _words,
+)
 from web_scraper_spark.operators.similarity import cosine, neardup_pairs
 from web_scraper_spark.plans.contract import (
     ORACLES, QUERIES, register, _t, _dec, _disc_rev, _money,
 )
-
-N_MINHASH = 8
-
-
-def hash60(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
-def _words(col: Column) -> Column:
-    return F.split(F.trim(col), " ")
 
 
 def _shingles(words: Column) -> Column:
@@ -104,16 +102,10 @@ def dedup_exact_guard(spark, sf_dir):
 # Dedup 2 — MinHash + LSH candidate pairs (shingle -> 8 minhashes ->
 # band buckets -> within-bucket pair join; never all-pairs).
 #
-# One md5 per shingle; the 8 band hashes are affine permutations
-# h -> (a*h + b) mod M over the prime field M = 2^31 - 1 — products stay
-# < 2^36 so neither engine overflows, and the constants below are shared
-# literals in the Spark expression and the oracle SQL.
-_MERSENNE = 2147483647
-_BAND_COEF = [
-    (1103515245, 12345), (1103541119, 2531011), (214013, 2531012),
-    (69069, 1234567), (1664525, 1013904223), (22695477, 1),
-    (134775813, 1), (1103515245 * 2 % _MERSENNE, 777),
-]
+# The Spark front half (shingle hashing, affine permutations, band
+# explode) lives in operators/minhash.py — shared with the streaming
+# ingest twin — and its BAND_COEF/MERSENNE constants are the shared
+# literals in the oracle SQL below.
 _SQL_MINHASHES = ", ".join(
     f"list_min(list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {_MERSENNE})) AS m{i}"
     for i, (a, b) in enumerate(_BAND_COEF)
@@ -121,54 +113,6 @@ _SQL_MINHASHES = ", ".join(
 _SQL_MH_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {i} AS band, m{i} AS minhash FROM mh" for i in range(N_MINHASH)
 )
-
-
-def _minhash_bands(d):
-    """(doc_id, band, minhash) rows for the corpus — the shared LSH
-    front half of dedup_minhash_lsh / dedup_incremental, materialized
-    once via localCheckpoint.
-
-    Perf shape (r5 HOF-codegen discipline, measured at a 160k-doc
-    corpus): shingle hashes are computed on FLAT columns after exploding
-    window-start positions, and the 8 permuted minima are ONE partial-
-    aggregatable groupBy (8 min() aggregates) — the original
-    transform()/array_min lambda formulation evaluates interpreted
-    (higher-order functions sit outside whole-stage codegen) and ran
-    ~20x slower. Values are bit-identical: same shingle positions
-    (1..max(size-2,1)), same hash60 % M, same affine permutations; min
-    over a group equals array_min over the per-doc array.
-
-    The checkpoint matters because the band table's consumers join it
-    against itself (or a filtered view): without it the broadcast-side
-    plan re-runs the shingle+md5 subtree (measured 4.2 -> 2.5 s at
-    sf0.1). The table is (id, band, minhash) only — never document
-    text — so the checkpoint stays small at any corpus size."""
-    words = d.select("doc_id", _words(F.col("text")).alias("words"))
-    flat = words.select(
-        "doc_id",
-        "words",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1)))
-        ).alias("i"),
-    ).select(
-        "doc_id",
-        (
-            hash60(F.concat_ws(" ", F.slice(F.col("words"), F.col("i"), 3)))
-            % _MERSENNE
-        ).alias("h"),
-    )
-    mins = flat.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(f"m{i}")
-            for i, (a, b) in enumerate(_BAND_COEF)
-        ]
-    )
-    return mins.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)])
-        ).alias("band", "minhash"),
-    ).localCheckpoint(eager=True)
 
 
 @register(
