@@ -3468,3 +3468,433 @@ def quality_regression_probe(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN — the memory-bound end of the ANN family
+# (brute cosine -> int8 scalar -> IVF -> PQ): corpus vectors are stored
+# as 8 one-byte codes (one per 8-dim subspace) instead of 64 floats, and
+# queries score by Asymmetric Distance Computation — one 16-entry lookup
+# table per subspace, distance = sum of 8 table cells. At the 100 TB
+# design point this is ~32x less state than the raw vectors and the scan
+# reads codes only; here the codes/ADC join shapes are real and the
+# arithmetic is EXACT integer end-to-end (int8 scalar quantization
+# first, the ann_int8_topk convention), so both engines agree bitwise.
+#
+# Codebook: the int8 subvectors of vec_ids 1..16 (deterministic sampled
+# codebook, k = vec_id - 1). Real systems run k-means here; the codebook
+# CHOICE is a recall knob, not a correctness one — assignment and ADC
+# are the contract. Argmin with tie -> smallest k is encoded as
+# min(d * 100 + k) % 100 (d <= 8 * 254^2 = 516,128, k < 16 < 100, so
+# the encoding is collision-free and identical on both engines — the
+# min_by/arg_min tie rules are NOT portable, this encoding is).
+#
+# Codegen discipline: each subspace distance is its own 8-term column
+# (the ann_int8_topk janino-64KB lesson) — never one 64-term expression.
+_PQ_M = 8          # subspaces
+_PQ_DSUB = 8       # dims per subspace
+_PQ_K = 16         # codebook entries per subspace
+
+
+def _pq_sql_q8(expr: str) -> str:
+    return f"CAST(round({expr}::DOUBLE / s.maxabs * 127) AS BIGINT)"
+
+
+def _pq_sql_dist(a: str, b: str, m: int) -> str:
+    terms = []
+    for j in range(_PQ_DSUB):
+        i = m * _PQ_DSUB + j + 1  # 1-based array index
+        qa = _pq_sql_q8(f"{a}.embedding[{i}]")
+        qc = _pq_sql_q8(f"{b}.c_emb[{i}]")
+        terms.append(f"({qa} - {qc}) * ({qa} - {qc})")
+    return " + ".join(terms)
+
+
+_PQ_SQL_ENC_D = ", ".join(
+    f"{_pq_sql_dist('a', 'cb', m)} AS d{m}" for m in range(_PQ_M)
+)
+_PQ_SQL_CODES = ", ".join(
+    f"min(d{m} * 100 + k) % 100 AS code{m}" for m in range(_PQ_M)
+)
+_PQ_SQL_ADC_D = ", ".join(
+    f"{_pq_sql_dist('q', 'cb', m)} AS qd{m}" for m in range(_PQ_M)
+)
+_PQ_SQL_CODES_LONG = " UNION ALL ".join(
+    f"SELECT vec_id, label, {m} AS m, code{m} AS code FROM codes"
+    for m in range(_PQ_M)
+)
+_PQ_SQL_ADC_LONG = " UNION ALL ".join(
+    f"SELECT k, {m} AS m, qd{m} AS qdist FROM adc" for m in range(_PQ_M)
+)
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH s AS (
+      SELECT max(greatest({", ".join(f"abs(embedding[{i+1}]::DOUBLE)" for i in range(_QDIM))})) AS maxabs
+      FROM embeddings),
+    cb AS (
+      SELECT vec_id - 1 AS k, embedding AS c_emb FROM embeddings
+      WHERE vec_id BETWEEN 1 AND {_PQ_K}),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    enc AS (
+      SELECT a.vec_id, a.label, cb.k, {_PQ_SQL_ENC_D}
+      FROM embeddings a, cb, s WHERE a.vec_id <> 0),
+    codes AS (
+      SELECT vec_id, label, {_PQ_SQL_CODES} FROM enc GROUP BY vec_id, label),
+    adc AS (
+      SELECT cb.k, {_PQ_SQL_ADC_D}
+      FROM cb, q, s),
+    codes_long AS ({_PQ_SQL_CODES_LONG}),
+    adc_long AS ({_PQ_SQL_ADC_LONG}),
+    scored AS (
+      SELECT c.vec_id, c.label, CAST(sum(a.qdist) AS BIGINT) AS pq_dist
+      FROM codes_long c JOIN adc_long a ON a.m = c.m AND a.k = c.code
+      GROUP BY c.vec_id, c.label)
+    SELECT vec_id, label, pq_dist,
+           row_number() OVER (ORDER BY pq_dist ASC, vec_id ASC) AS rank
+    FROM (SELECT * FROM scored ORDER BY pq_dist ASC, vec_id ASC LIMIT 10)
+    """,
+)
+def ann_pq_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    maxabs = F.greatest(
+        *[F.abs(F.col("embedding")[i].cast("double")) for i in range(_QDIM)]
+    )
+    stats = e.agg(F.max(maxabs).alias("maxabs"))
+    cb = e.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= _PQ_K)).select(
+        (F.col("vec_id") - 1).alias("k"), F.col("embedding").alias("c_emb")
+    )
+
+    def dsub(a_col: str, m: int) -> Column:
+        terms = [
+            (
+                _q8(F.col(a_col)[m * _PQ_DSUB + j], F.col("maxabs"))
+                - _q8(F.col("c_emb")[m * _PQ_DSUB + j], F.col("maxabs"))
+            )
+            * (
+                _q8(F.col(a_col)[m * _PQ_DSUB + j], F.col("maxabs"))
+                - _q8(F.col("c_emb")[m * _PQ_DSUB + j], F.col("maxabs"))
+            )
+            for j in range(_PQ_DSUB)
+        ]
+        s = terms[0]
+        for t in terms[1:]:
+            s = s + t
+        return s
+
+    enc = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "label",
+            "k",
+            *[dsub("embedding", m).alias(f"d{m}") for m in range(_PQ_M)],
+        )
+    )
+    codes = enc.groupBy("vec_id", "label").agg(
+        *[
+            (F.min(F.col(f"d{m}") * 100 + F.col("k")) % 100).alias(f"code{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    adc = (
+        cb.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(stats))
+        .select("k", *[dsub("q_emb", m).alias(f"qd{m}") for m in range(_PQ_M)])
+    )
+    codes_long = codes.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(*[F.col(f"code{m}") for m in range(_PQ_M)])
+        ).alias("m", "code"),
+    )
+    adc_long = adc.select(
+        "k",
+        F.posexplode(F.array(*[F.col(f"qd{m}") for m in range(_PQ_M)])).alias(
+            "m", "qdist"
+        ),
+    )
+    scored = (
+        codes_long.join(
+            F.broadcast(adc_long),
+            (codes_long["m"] == adc_long["m"])
+            & (codes_long["code"] == adc_long["k"]),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("qdist").alias("pq_dist"))
+    )
+    top = scored.orderBy(F.asc("pq_dist"), F.asc("vec_id")).limit(10)
+    w = Window.orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality filter (Rae et al. 2021 §A1.1 rule
+# bundle, exact-arithmetic formulation): one pass computes every
+# per-doc statistic, each rule is an integer inequality (mean-word-
+# length bounds become cross-multiplications: 3 <= chars/words <= 10
+# is 3*words <= chars AND chars <= 10*words — no division, no float,
+# no q7-style boundary hazard), and the verdict is the conjunction.
+# Scale shape: ONE (doc, word) groupBy then ONE doc groupBy — both
+# partial-aggregatable; no corpus-global state at all, so the filter
+# maps over any corpus size embarrassingly.
+_GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+    wc AS (SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY doc_id, w),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_words,
+             CAST(sum(len(w) * cnt) AS BIGINT) AS word_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(cnt) AS BIGINT) AS max_word_count,
+             CAST(sum(CASE WHEN w IN {str(tuple(_GOPHER_STOPWORDS))}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_distinct
+      FROM wc GROUP BY doc_id)
+    SELECT doc_id, n_words, n_distinct, max_word_count,
+           (n_words >= 10 AND n_words <= 100000) AS r_word_count,
+           (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+             AS r_mean_word_len,
+           (10 * max_word_count <= n_words) AS r_max_word_frac,
+           (5 * n_distinct >= n_words) AS r_distinct_frac,
+           (n_stop_distinct >= 2) AS r_stopwords,
+           ((n_words >= 10 AND n_words <= 100000)
+            AND (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+            AND (10 * max_word_count <= n_words)
+            AND (5 * n_distinct >= n_words)
+            AND (n_stop_distinct >= 2)) AS passes_all
+    FROM per
+    """,
+)
+def gopher_quality_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    wc = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    is_stop = F.when(F.col("w").isin(*_GOPHER_STOPWORDS), 1).otherwise(0)
+    per = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.length("w") * F.col("cnt")).alias("word_chars"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("max_word_count"),
+        F.sum(is_stop).alias("n_stop_distinct"),
+    )
+    n, chars = F.col("n_words"), F.col("word_chars")
+    r_wc = (n >= 10) & (n <= 100000)
+    r_mwl = (3 * n <= chars) & (chars <= 10 * n)
+    r_mwf = 10 * F.col("max_word_count") <= n
+    r_df = 5 * F.col("n_distinct") >= n
+    r_sw = F.col("n_stop_distinct") >= 2
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "max_word_count",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_mwf.alias("r_max_word_frac"),
+        r_df.alias("r_distinct_frac"),
+        r_sw.alias("r_stopwords"),
+        (r_wc & r_mwl & r_mwf & r_df & r_sw).alias("passes_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination — the surgical sibling of
+# decontaminate_ngrams: instead of a per-doc overlap COUNT, report WHERE
+# the leaked 3-gram spans sit (first/last token position, span count,
+# contaminated fraction), so a pipeline can excise spans rather than
+# drop documents. Same benchmark convention (doc_id % 97 = 0 is the
+# eval set), same broadcast-bench/semi-join shape — positions ride the
+# existing flat explode for free, adding no extra shuffle.
+@register(
+    "decontaminate_spans",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 1, 2))) AS i
+      FROM docs),
+    g AS (
+      SELECT doc_id, i,
+             {_SQL_H60.format("array_to_string(words[i:i+2], ' ')")}
+               % {_MERSENNE} AS gh
+      FROM pos),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    totals AS (SELECT doc_id, count(*) AS total_spans FROM g GROUP BY doc_id)
+    SELECT g.doc_id, count(*) AS n_leaked, min(g.i) AS first_pos,
+           max(g.i) AS last_pos,
+           round(count(*) / t.total_spans, 6) AS leaked_frac
+    FROM g JOIN bench USING (gh) JOIN totals t ON t.doc_id = g.doc_id
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id, t.total_spans
+    """,
+)
+def decontaminate_spans(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", _words(F.col("text")).alias("words"))
+    g = words.select(
+        "doc_id",
+        "words",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("words") - 2, F.lit(1)))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        (
+            hash60(F.concat_ws(" ", F.slice(F.col("words"), F.col("i"), 3)))
+            % _MERSENNE
+        ).alias("gh"),
+    )
+    bench = (
+        g.where(F.col("doc_id") % 97 == 0).select("gh").dropDuplicates(["gh"])
+    )
+    totals = g.groupBy("doc_id").agg(F.count("*").alias("total_spans"))
+    return (
+        g.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gh")
+        .join(totals, "doc_id")
+        .groupBy("doc_id", "total_spans")
+        .agg(
+            F.count("*").alias("n_leaked"),
+            F.min("i").alias("first_pos"),
+            F.max("i").alias("last_pos"),
+        )
+        .select(
+            "doc_id",
+            "n_leaked",
+            "first_pos",
+            "last_pos",
+            F.round(F.col("n_leaked") / F.col("total_spans"), 6).alias(
+                "leaked_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric Jaccard |A∩B| / min(|A|,|B|)) — what
+# symmetric minhash misses: a snippet living INSIDE a larger document
+# scores near-zero Jaccard but ~1.0 containment. The sf corpus has no
+# natural containments, so the query injects one per doc_id % 11 = 0
+# (the doc's first 12 words under doc_id + 2,000,000 — the
+# dedup_exact_guard synthesis idiom). Scale shape: distinct (doc,
+# shingle-hash) rows, frequency-capped (shingles in > 64 distinct docs
+# are dropped on BOTH engines — boilerplate grams carry no containment
+# signal and their buckets are the quadratic hazard), then the pair
+# count groups by shingle bucket — never doc x doc. At the 100 TB
+# design point this runs over LSH candidates (the dedup_minhash family
+# gates it); the contract pins the exact-verification arithmetic.
+_CONTAIN_CAP = 64     # max distinct docs per shingle
+_CONTAIN_MIN_SHARED = 4
+
+
+@register(
+    "text_containment_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(string_split(trim(text), ' ')[1:12], ' ') AS text
+      FROM documents WHERE doc_id % 11 = 0),
+    docs AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM base),
+    pos AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 1, 2))) AS i
+      FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             {_SQL_H60.format("array_to_string(words[i:i+2], ' ')")}
+               % {_MERSENNE} AS h
+      FROM pos),
+    kept AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING count(*) <= {_CONTAIN_CAP}),
+    shk AS (SELECT sh.doc_id, sh.h FROM sh JOIN kept USING (h)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM shk a JOIN shk b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {_CONTAIN_MIN_SHARED})
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared / least(sa.sz, sb.sz), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared / least(sa.sz, sb.sz) >= 0.5
+    """,
+)
+def text_containment_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    snippets = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(_words(F.col("text")), 1, 12)).alias("text"),
+    )
+    base = d.select("doc_id", "text").unionByName(snippets)
+    words = base.select("doc_id", _words(F.col("text")).alias("words"))
+    sh = (
+        words.select(
+            "doc_id",
+            "words",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("words") - 2, F.lit(1))
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            (
+                hash60(
+                    F.concat_ws(" ", F.slice(F.col("words"), F.col("i"), 3))
+                )
+                % _MERSENNE
+            ).alias("h"),
+        )
+        .dropDuplicates(["doc_id", "h"])
+    )
+    kept = sh.groupBy("h").agg(F.count("*").alias("df")).where(
+        F.col("df") <= _CONTAIN_CAP
+    ).select("h")
+    shk = sh.join(kept, "h").localCheckpoint(eager=True)
+    sizes = shk.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = shk.alias("a"), shk.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= _CONTAIN_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    contain = F.col("n_shared") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(contain >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(contain, 6).alias("containment"),
+        )
+    )
