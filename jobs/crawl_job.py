@@ -60,8 +60,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="optional rotating JSON-lines file for per-round metrics (reference A10 log-file sink analog)")
     args = p.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from web_scraper_spark.session import get_spark
 
+    # Only stop the session this job created: when main() is driven
+    # in-process (tests, notebooks), getOrCreate returns the CALLER's
+    # session and stopping it would kill their SparkContext for good.
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("crawl_job")
 
     if args.synthetic_domains:
@@ -104,7 +110,8 @@ def main(argv: list[str] | None = None) -> int:
             "recrawled_seeds": stale,
             "fetch_attempts": sub.crawl_log.count() if sub else 0,
         }))
-        spark.stop()
+        if not preexisting:
+            spark.stop()
         return 0
 
     from web_scraper_spark.plans.crawl import run_crawl
@@ -143,7 +150,8 @@ def main(argv: list[str] | None = None) -> int:
         "images": result.images.count() if result.images is not None else 0,
     }
     print(json.dumps(summary))
-    spark.stop()
+    if not preexisting:
+        spark.stop()
     return 0
 
 
