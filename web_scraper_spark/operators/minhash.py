@@ -84,3 +84,25 @@ def minhash_bands(
             F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)])
         ).alias("band", "minhash"),
     ).localCheckpoint(eager=True)
+
+
+def band_pairs(bands: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing >= 1
+    (band, minhash) bucket — the LSH back half. Bucketed join on the
+    band key, never all-pairs; run ``exact_prededup`` first so identical
+    content can't form degenerate buckets."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col(f"a.{doc_col}") < F.col(f"b.{doc_col}")),
+        )
+        .select(
+            F.col(f"a.{doc_col}").alias("doc_a"),
+            F.col(f"b.{doc_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -3644,7 +3644,9 @@ def ann_pq_topk(spark, sf_dir):
 # Scale shape: ONE (doc, word) groupBy then ONE doc groupBy — both
 # partial-aggregatable; no corpus-global state at all, so the filter
 # maps over any corpus size embarrassingly.
-_GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
+from web_scraper_spark.operators.quality import (  # noqa: E402
+    GOPHER_STOPWORDS as _GOPHER_STOPWORDS,
+)
 
 
 @register(
@@ -3678,35 +3680,9 @@ _GOPHER_STOPWORDS = ("the", "a", "of", "and", "to")
     """,
 )
 def gopher_quality_filter(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
-    wc = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
-    is_stop = F.when(F.col("w").isin(*_GOPHER_STOPWORDS), 1).otherwise(0)
-    per = wc.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_words"),
-        F.sum(F.length("w") * F.col("cnt")).alias("word_chars"),
-        F.count("*").alias("n_distinct"),
-        F.max("cnt").alias("max_word_count"),
-        F.sum(is_stop).alias("n_stop_distinct"),
-    )
-    n, chars = F.col("n_words"), F.col("word_chars")
-    r_wc = (n >= 10) & (n <= 100000)
-    r_mwl = (3 * n <= chars) & (chars <= 10 * n)
-    r_mwf = 10 * F.col("max_word_count") <= n
-    r_df = 5 * F.col("n_distinct") >= n
-    r_sw = F.col("n_stop_distinct") >= 2
-    return per.select(
-        "doc_id",
-        "n_words",
-        "n_distinct",
-        "max_word_count",
-        r_wc.alias("r_word_count"),
-        r_mwl.alias("r_mean_word_len"),
-        r_mwf.alias("r_max_word_frac"),
-        r_df.alias("r_distinct_frac"),
-        r_sw.alias("r_stopwords"),
-        (r_wc & r_mwl & r_mwf & r_df & r_sw).alias("passes_all"),
-    )
+    from web_scraper_spark.operators.quality import gopher_report
+
+    return gopher_report(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
