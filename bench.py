@@ -234,6 +234,7 @@ def main() -> None:
         "text_bm25_topk",
         "dedup_passages",
         "ann_ivf_scaled",
+        "ann_pq_topk",
         "pack_sequences",
         "corpus_mix_sample",
     ):

@@ -279,3 +279,40 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS pq_bkt_a")
         spark.sql("DROP TABLE IF EXISTS pq_bkt_b")
+
+
+def test_ann_pq_plan_broadcasts_and_distributed_topk(spark, sf_dir):
+    """PQ assignment/ADC sides (16-row codebook, 1-row stats, 1-row
+    query) must broadcast, the code argmin must partial-aggregate
+    map-side, and the final top-k must be a distributed
+    TakeOrderedAndProject — never a single-partition global sort."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["ann_pq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine of the code argmin
+    assert "TakeOrderedAndProject" in plan
+    # no sort-merge join anywhere: every join side here is bounded
+    # (codebook 16 rows, ADC table 128 rows, top-k 10 rows)
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_stays_bucketed(spark, sf_dir):
+    """The containment pair count must group by shingle bucket (keyed
+    joins + partial aggs) — never a cartesian / doc x doc product."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["text_containment_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_gopher_filter_two_shuffles_only(spark, sf_dir):
+    """The rule bundle is two partial-aggregatable groupBys — (doc, word)
+    then doc — and nothing else: no join, no window, no extra exchange."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["gopher_quality_filter"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
