@@ -316,3 +316,53 @@ def test_gopher_filter_two_shuffles_only(spark, sf_dir):
     plan = _plan(entry.queries()["gopher_quality_filter"](spark, sf_dir))
     assert "Join" not in plan and "Window" not in plan
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_c4_filter_single_groupby_no_join(spark, sf_dir):
+    """C4 cleaning is one segment explode + one per-doc groupBy — no
+    join, no window, no corpus-global state."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["c4_quality_filter"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 2  # the one groupBy (+AQE read)
+
+
+def test_bpe_pairs_vocab_bounded_no_join(spark, sf_dir):
+    """BPE pair counting aggregates to (word, count) FIRST, then
+    explodes pairs over the vocab — two partial-agg groupBys, no join."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["bpe_pair_counts"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dsir_single_scan_broadcast_weights(spark, sf_dir):
+    """The DSIR weight table (4,096 rows, checkpointed) must broadcast
+    onto the token stream: final plan is ONE corpus scan, a broadcast
+    hash join, and one per-doc groupBy — never a sort-merge join or a
+    second corpus scan."""
+    import re
+
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["dsir_importance"](spark, sf_dir))
+    scans = sum(
+        1
+        for line in plan.splitlines()
+        if "Scan parquet" in line and re.match(r"^\s*\(\d+\)", line)
+    )
+    assert scans == 1, f"expected 1 corpus scan in the final plan, got {scans}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_pairs_cluster_bounded(spark, sf_dir):
+    """SemDeDup's pairwise step must join on the cluster id (bounded
+    buckets) — never a cartesian / unkeyed nested-loop product."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["semdedup_embeddings"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

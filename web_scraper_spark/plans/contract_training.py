@@ -3874,3 +3874,410 @@ def text_containment_pairs(spark, sf_dir):
             F.round(contain, 6).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic cleaning (Raffel et al. 2020 §2.2) — the line/doc
+# rule bundle that precedes every big web-text corpus: keep only lines
+# that end in terminal punctuation AND have >= 5 words; drop whole
+# documents containing "lorem ipsum" or a curly brace; require >= 3
+# surviving lines. The synthetic corpus has no newlines or punctuation,
+# so (a) a "line" is a non-overlapping 8-word segment (the
+# dedup_line_scrub convention) and (b) the query injects the signals
+# deterministically as shared literals: segment (doc_id + i) % 3 == 0
+# gets a trailing '.', doc_id % 13 == 0 gets ' lorem ipsum' appended to
+# segment 1, doc_id % 17 == 0 gets ' {' appended to segment 1.
+# Scale shape: one segment explode, per-segment flags as pure
+# projections (no shuffle), ONE per-doc groupBy with ordered
+# reconstruction of the kept text — embarrassingly parallel, no
+# corpus-global state at all (unlike the df-keyed line scrub).
+_C4_W = 8
+_C4_MIN_LINE_WORDS = 5
+_C4_MIN_KEPT = 3
+
+
+@register(
+    "c4_quality_filter",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    segs0 AS (
+      SELECT doc_id, i,
+             array_to_string(words[(i-1)*{_C4_W}+1:(i-1)*{_C4_W}+{_C4_W}], ' ') AS seg
+      FROM (SELECT doc_id, words,
+                   unnest(range(1, greatest(CAST(ceil(len(words)/{_C4_W}.0) AS BIGINT), 1)+1)) AS i
+            FROM docs)),
+    segs AS (
+      SELECT doc_id, i,
+             seg
+             || CASE WHEN i = 1 AND doc_id % 13 = 0 THEN ' lorem ipsum' ELSE '' END
+             || CASE WHEN i = 1 AND doc_id % 17 = 0 THEN ' {{' ELSE '' END
+             || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END AS seg
+      FROM segs0),
+    flags AS (
+      SELECT doc_id, i, seg,
+             (ends_with(seg, '.')
+              AND len(string_split(seg, ' ')) >= {_C4_MIN_LINE_WORDS}) AS line_kept,
+             contains(seg, 'lorem ipsum') AS has_lorem,
+             contains(seg, '{{') AS has_brace
+      FROM segs)
+    SELECT doc_id,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN line_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           max(has_lorem) AS has_lorem,
+           max(has_brace) AS has_brace,
+           (NOT max(has_lorem) AND NOT max(has_brace)
+            AND sum(CASE WHEN line_kept THEN 1 ELSE 0 END) >= {_C4_MIN_KEPT}) AS passes,
+           {_SQL_H60.format("coalesce(string_agg(CASE WHEN line_kept THEN seg END, ' ' ORDER BY i), '')")} AS kept_hash
+    FROM flags GROUP BY doc_id
+    """,
+)
+def c4_quality_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", _words(F.col("text")).alias("words"))
+    segs = (
+        words.select(
+            "doc_id",
+            "words",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.ceil(F.size("words") / F.lit(float(_C4_W))).cast("int"),
+                        F.lit(1),
+                    ),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("words"), (F.col("i") - 1) * _C4_W + 1, _C4_W),
+                ),
+                F.when(
+                    (F.col("i") == 1) & (F.col("doc_id") % 13 == 0),
+                    F.lit(" lorem ipsum"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    (F.col("i") == 1) & (F.col("doc_id") % 17 == 0),
+                    F.lit(" {"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    (F.col("doc_id") + F.col("i")) % 3 == 0, F.lit(".")
+                ).otherwise(F.lit("")),
+            ).alias("seg"),
+        )
+    )
+    flags = segs.select(
+        "doc_id",
+        "i",
+        "seg",
+        (
+            F.col("seg").endswith(".")
+            & (F.size(F.split(F.col("seg"), " ")) >= _C4_MIN_LINE_WORDS)
+        ).alias("line_kept"),
+        F.col("seg").contains("lorem ipsum").alias("has_lorem"),
+        F.col("seg").contains("{").alias("has_brace"),
+    )
+    kept = F.when(F.col("line_kept"), F.struct(F.col("i"), F.col("seg")))
+    n_kept = F.sum(F.when(F.col("line_kept"), 1).otherwise(0))
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            n_kept.alias("n_kept"),
+            F.max("has_lorem").alias("has_lorem"),
+            F.max("has_brace").alias("has_brace"),
+            F.sort_array(F.collect_list(kept)).alias("kept_segs"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            "has_lorem",
+            "has_brace",
+            (
+                ~F.col("has_lorem")
+                & ~F.col("has_brace")
+                & (F.col("n_kept") >= _C4_MIN_KEPT)
+            ).alias("passes"),
+            hash60(F.concat_ws(" ", F.col("kept_segs.seg"))).alias("kept_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent-pair counts (tokenizer-training prep; Sennrich et
+# al. 2016's first merge step): count every adjacent character pair,
+# weighted by word frequency. The scale-defining trick is the same one
+# real BPE trainers use — aggregate the corpus to (word, count) FIRST,
+# then explode pairs over the VOCABULARY (distinct words), so the
+# pair explode is vocab-bounded, not corpus-bounded (a 100 TB corpus
+# has ~10^7 distinct words but ~10^13 tokens). Two partial-aggregatable
+# groupBys, no joins, no windows. Pure integer counts — no float
+# hazard anywhere.
+@register(
+    "bpe_pair_counts",
+    """
+    WITH wc AS (
+      SELECT w, count(*) AS wcount
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+      GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, wcount, w
+      FROM (SELECT w, wcount, unnest(range(1, len(w))) AS i
+            FROM wc WHERE len(w) >= 2))
+    SELECT pair, CAST(sum(wcount) AS BIGINT) AS pair_count,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_types
+    FROM pairs GROUP BY pair
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wcount"))
+    )
+    pairs = (
+        wc.where(F.length("w") >= 2)
+        .select(
+            "w",
+            "wcount",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            "w",
+            "wcount",
+            F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"),
+        )
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("wcount").alias("pair_count"),
+        F.countDistinct("w").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (Xie et al. 2023, hashed-n-gram importance
+# resampling) in EXACT INTEGER arithmetic: unigram features hash into
+# 4,096 buckets; the per-bucket importance ratio is the add-one-smoothed
+# target/raw frequency ratio scaled by 10^4 and floor-divided
+# (score_b = (10^4 * (ct_b+1) * N_raw) DIV ((cr_b+1) * N_target)), so
+# every weight is a portable BIGINT — no log-sum float tree to keep
+# bit-identical across engines. Target distribution = the corpus's
+# English documents. A document's score is the sum of its tokens'
+# bucket weights; ``selected`` marks docs whose mean token weight
+# clears the neutral ratio (score >= 10^4 * n_tokens).
+# Scale shape: ONE conditional-agg groupBy over a FIXED 4,096-row key
+# space yields both distributions (raw + target) in a single corpus
+# pass; the totals N_raw/N_target come from summing that 4,096-row
+# table, NOT from extra corpus scans; the 4,096-row weight table then
+# broadcasts back onto the token stream for one final per-doc groupBy —
+# two corpus passes total, nothing corpus-global ever shuffles except
+# the fixed bucket table.
+# Overflow bound: 10^4 * (ct+1) * N_raw <= 10^4 * N_tok^2 stays under
+# int64 for N_tok <= 3*10^7 tokens per partition-independent global
+# count (sf <= 1 here); beyond that, drop SCALE or pre-divide N_raw.
+_DSIR_BUCKETS = 4096
+_DSIR_SCALE = 10000
+
+
+@register(
+    "dsir_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {_SQL_H60.format("w")} % {_DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents)),
+    cb AS (
+      SELECT b, count(*) AS c_raw,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_target
+      FROM toks GROUP BY b),
+    n AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+                 CAST(sum(c_target) AS BIGINT) AS n_target
+          FROM cb),
+    wt AS (
+      SELECT cb.b,
+             ({_DSIR_SCALE} * (cb.c_target + 1) * n.n_raw)
+               // ((cb.c_raw + 1) * n.n_target) AS w_b
+      FROM cb, n)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(wt.w_b) AS BIGINT) AS score,
+           CAST(sum(wt.w_b) // count(*) AS BIGINT) AS score_per_token,
+           (sum(wt.w_b) >= {_DSIR_SCALE} * count(*)) AS selected
+    FROM toks t JOIN wt ON t.b = wt.b
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_importance(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(_words(F.col("text"))).alias("w")
+    ).select("doc_id", "lang", (hash60(F.col("w")) % _DSIR_BUCKETS).alias("b"))
+    # materialize the 4,096-row bucket table once: without it Spark
+    # re-derives it (one full corpus scan each) for the totals AND the
+    # weights — with it, the whole query is exactly two corpus passes
+    cb = toks.groupBy("b").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_target"),
+    ).localCheckpoint(eager=True)
+    n = cb.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_target").alias("n_target")
+    )
+    wt = cb.crossJoin(F.broadcast(n)).select(
+        "b",
+        F.expr(
+            f"({_DSIR_SCALE}L * (c_target + 1L) * n_raw)"
+            f" div ((c_raw + 1L) * n_target)"
+        ).alias("w_b"),
+    )
+    return (
+        toks.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_b").alias("score"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            F.expr("score div n_tokens").alias("score_per_token"),
+            (F.col("score") >= _DSIR_SCALE * F.col("n_tokens")).alias(
+                "selected"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023) — semantic dedup in embedding space:
+# coarse-cluster the corpus, then drop every vector that has a
+# higher-priority near-twin (cosine >= 0.9) INSIDE its cluster; the
+# keeper rule is min vec_id (the repo's dedup idiom). Clustering is a
+# single nearest-seed assignment (seeds = the first 8 base vectors,
+# squared-L2, ties to low cid — the ann_ivf_kmeans assign shape), so
+# pairwise work is cluster-bounded, never corpus x corpus; at real
+# scale K grows ~N/target_cluster_size and the quadratic term stays
+# bounded per bucket. The sf corpus has no semantic twins, so replicas
+# are injected for vec_id % 9 == 0 under vec_id + 1,000,000 with ONE
+# dimension (vec_id % 64) shifted by exactly +0.25 (a binary fraction:
+# no cross-engine float drift; cosine to the original stays ~0.99).
+# The threshold compares the UNROUNDED cosine — both engines compute
+# the identical left-associative float tree, so the decision is
+# bit-stable; only the reported sim is rounded.
+_SEMDEDUP_THRESH = 0.9
+
+
+def _cos_unrolled(a: str, b: str) -> Column:
+    """Cosine of two double-array columns, fully unrolled (64 dims) in
+    element order — bit-identical to the aggregate()/list_sum fold but
+    inside whole-stage codegen (HOF lambdas evaluate interpreted)."""
+    dot, na, nb = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+    for i in range(_EMB_DIM):
+        x, y = F.col(a)[i], F.col(b)[i]
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+@register(
+    "semdedup_embeddings",
+    f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    reps AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+                            i -> embedding[i]::DOUBLE
+                                 + CASE WHEN i - 1 = vec_id % 64
+                                        THEN 0.25 ELSE 0 END) AS emb
+      FROM embeddings WHERE vec_id % 9 = 0),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM reps),
+    seeds AS (SELECT vec_id::INT AS cid, emb AS centroid
+              FROM base WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i]))) ASC,
+                   c.cid ASC) AS rn
+        FROM e, seeds c)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, b.cid,
+             {_SQL_COS.format(a="a.emb", b="b.emb")} AS cos
+      FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT vb AS vec_id, cid, min(va) AS keeper,
+           round(arg_min(cos, va), 6) AS sim_keeper
+    FROM pairs WHERE cos >= {_SEMDEDUP_THRESH}
+    GROUP BY vb, cid
+    """,
+)
+def semdedup_embeddings(spark, sf_dir):
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    reps = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 9 == 0)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> cast(x as double)"
+                " + case when i = vec_id % 64 then 0.25d else 0d end)"
+            ).alias("emb"),
+        )
+    )
+    # materialize once: the interpreted transform() expansion feeds the
+    # assign scan AND both sides of the pair join (the ann_ivf_scaled
+    # idiom — at real scale the corpus is a stored table)
+    e = base.unionByName(reps).localCheckpoint(eager=True)
+    seeds = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("centroid")
+    )
+    d2 = F.lit(0.0)
+    for i in range(_EMB_DIM):
+        diff = F.col("emb")[i] - F.col("centroid")[i]
+        d2 = d2 + diff * diff
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("d2", d2)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid"),
+            F.first("emb").alias("emb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("va"),
+        F.col("cid").alias("cid"),
+        F.col("emb").alias("a_emb"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cid").alias("b_cid"),
+        F.col("emb").alias("b_emb"),
+    )
+    pairs = (
+        a.join(b, (a["cid"] == b["b_cid"]) & (a["va"] < b["vb"]))
+        .withColumn("cos", _cos_unrolled("a_emb", "b_emb"))
+        .where(F.col("cos") >= _SEMDEDUP_THRESH)
+    )
+    return (
+        pairs.groupBy(F.col("vb").alias("vec_id"), "cid")
+        .agg(
+            F.min("va").alias("keeper"),
+            F.round(F.min_by("cos", "va"), 6).alias("sim_keeper"),
+        )
+    )
