@@ -4168,22 +4168,34 @@ def dsir_importance(spark, sf_dir):
 # dimension (vec_id % 64) shifted by exactly +0.25 (a binary fraction:
 # no cross-engine float drift; cosine to the original stays ~0.99).
 # The threshold compares the UNROUNDED cosine — both engines compute
-# the identical left-associative float tree, so the decision is
-# bit-stable; only the reported sim is rounded.
+# the identical STAGED float tree (8 groups of 8 terms, groups summed
+# left-to-right), so the decision is bit-stable; only the reported sim
+# is rounded. Staging matters twice: one flat 64-term expression beats
+# janino's 64 KB method limit (whole-stage codegen fails and SILENTLY
+# interprets — measured 131 s vs ~8 s at a 17.8k-vector corpus, the
+# ann_int8_topk lesson), and per-vector norms are computed ONCE before
+# the pair join (3x less arithmetic per pair) with the same tree on
+# both engines.
 _SEMDEDUP_THRESH = 0.9
 
 
-def _cos_unrolled(a: str, b: str) -> Column:
-    """Cosine of two double-array columns, fully unrolled (64 dims) in
-    element order — bit-identical to the aggregate()/list_sum fold but
-    inside whole-stage codegen (HOF lambdas evaluate interpreted)."""
-    dot, na, nb = F.lit(0.0), F.lit(0.0), F.lit(0.0)
-    for i in range(_EMB_DIM):
-        x, y = F.col(a)[i], F.col(b)[i]
-        dot = dot + x * y
-        na = na + x * x
-        nb = nb + y * y
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+def _sql_sum8(term: str) -> str:
+    """Explicit 8x8-term staged sum, 1-based {i} — the SQL twin of the
+    Spark-side staged partials in operators/semdedup.py (identical
+    association tree)."""
+    parts = []
+    for g in range(0, _EMB_DIM, 8):
+        parts.append(
+            "(" + " + ".join(term.format(i=i) for i in range(g + 1, g + 9)) + ")"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+_SQL_D2_8 = _sql_sum8(
+    "(e.emb[{i}] - c.centroid[{i}]) * (e.emb[{i}] - c.centroid[{i}])"
+)
+_SQL_N2_8 = _sql_sum8("emb[{i}] * emb[{i}]")
+_SQL_DOT_8 = _sql_sum8("a.emb[{i}] * b.emb[{i}]")
 
 
 @register(
@@ -4203,18 +4215,16 @@ def _cos_unrolled(a: str, b: str) -> Column:
     seeds AS (SELECT vec_id::INT AS cid, emb AS centroid
               FROM base WHERE vec_id < 8),
     a1 AS (
-      SELECT vec_id, emb, cid FROM (
+      SELECT vec_id, emb, cid, {_SQL_N2_8} AS n2 FROM (
         SELECT e.vec_id, e.emb, c.cid,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_sum(list_transform(range(1, 65),
-                   i -> (e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i]))) ASC,
-                   c.cid ASC) AS rn
+                 ORDER BY {_SQL_D2_8} ASC, c.cid ASC) AS rn
         FROM e, seeds c)
       WHERE rn = 1),
     pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb, b.cid,
-             {_SQL_COS.format(a="a.emb", b="b.emb")} AS cos
+             {_SQL_DOT_8} / (sqrt(a.n2) * sqrt(b.n2)) AS cos
       FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id)
     SELECT vb AS vec_id, cid, min(va) AS keeper,
            round(arg_min(cos, va), 6) AS sim_keeper
@@ -4223,6 +4233,8 @@ def _cos_unrolled(a: str, b: str) -> Column:
     """,
 )
 def semdedup_embeddings(spark, sf_dir):
+    from web_scraper_spark.operators.semdedup import semdedup_dups
+
     base = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
@@ -4238,46 +4250,9 @@ def semdedup_embeddings(spark, sf_dir):
             ).alias("emb"),
         )
     )
-    # materialize once: the interpreted transform() expansion feeds the
-    # assign scan AND both sides of the pair join (the ann_ivf_scaled
-    # idiom — at real scale the corpus is a stored table)
-    e = base.unionByName(reps).localCheckpoint(eager=True)
-    seeds = base.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("emb").alias("centroid")
-    )
-    d2 = F.lit(0.0)
-    for i in range(_EMB_DIM):
-        diff = F.col("emb")[i] - F.col("centroid")[i]
-        d2 = d2 + diff * diff
-    assigned = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("d2", d2)
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid"),
-            F.first("emb").alias("emb"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    a = assigned.select(
-        F.col("vec_id").alias("va"),
-        F.col("cid").alias("cid"),
-        F.col("emb").alias("a_emb"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vb"),
-        F.col("cid").alias("b_cid"),
-        F.col("emb").alias("b_emb"),
-    )
-    pairs = (
-        a.join(b, (a["cid"] == b["b_cid"]) & (a["va"] < b["vb"]))
-        .withColumn("cos", _cos_unrolled("a_emb", "b_emb"))
-        .where(F.col("cos") >= _SEMDEDUP_THRESH)
-    )
-    return (
-        pairs.groupBy(F.col("vb").alias("vec_id"), "cid")
-        .agg(
-            F.min("va").alias("keeper"),
-            F.round(F.min_by("cos", "va"), 6).alias("sim_keeper"),
-        )
+    # the operator's flat-column checkpoint evaluates the interpreted
+    # transform() injection exactly once; k=8 matches the 500-row sf
+    # tables (k scales ~N/cluster_target at corpus scale)
+    return semdedup_dups(
+        base.unionByName(reps), k=8, thresh=_SEMDEDUP_THRESH
     )
