@@ -366,3 +366,13 @@ def test_semdedup_pairs_cluster_bounded(spark, sf_dir):
     plan = _plan(entry.queries()["semdedup_embeddings"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_filter_pure_projection(spark, sf_dir):
+    """The LAION-style image pre-filter must be a single scan +
+    projection: zero exchanges, zero joins — predicate-pushdown-ready."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["image_quality_filter"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan

@@ -4256,3 +4256,88 @@ def semdedup_embeddings(spark, sf_dir):
     return semdedup_dups(
         base.unionByName(reps), k=8, thresh=_SEMDEDUP_THRESH
     )
+
+
+# ---------------------------------------------------------------------------
+# Image-caption pre-filter (LAION-style, Schuhmann et al. 2021) — the
+# rule bundle every image-caption crawl applies before CLIP scoring:
+# minimum dimensions, aspect-ratio bounds, format allowlist, caption
+# length window, and a bytes-per-pixel plausibility floor (a 4-MP image
+# in 20 KB is not a photo). Operates on the input-hint schema
+# (image_id, w, h, fmt, nbytes, caption) — synthesized deterministically
+# from the documents table with shared literals (the image_phash_neardup
+# idiom; the sandbox has no real image corpus): dims and compression
+# divisor from hash60 streams, fmt by doc_id % 4, caption = the doc's
+# first 12 words. Every rule is an integer or string predicate — no
+# float anywhere. Scale shape: a PURE PROJECTION, zero shuffles — the
+# filter maps over any corpus embarrassingly; at 100 TB this plan is
+# one parquet scan wide open to predicate pushdown.
+@register(
+    "image_quality_filter",
+    f"""
+    WITH meta AS (
+      SELECT doc_id AS image_id,
+             32 + {_SQL_H60.format("'w' || CAST(doc_id AS VARCHAR)")} % 2048 AS w,
+             32 + {_SQL_H60.format("'h' || CAST(doc_id AS VARCHAR)")} % 2048 AS h,
+             CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                             WHEN 2 THEN 'webp' ELSE 'gif' END AS fmt,
+             1 + {_SQL_H60.format("'b' || CAST(doc_id AS VARCHAR)")} % 64 AS cdiv,
+             array_to_string(string_split(trim(text), ' ')[1:12], ' ') AS caption
+      FROM documents),
+    m2 AS (SELECT *, (w * h) // cdiv AS nbytes FROM meta)
+    SELECT image_id, w, h, fmt, nbytes,
+           CAST(len(caption) AS BIGINT) AS caption_chars,
+           (w >= 64 AND h >= 64) AS r_min_size,
+           (greatest(w, h) <= 3 * least(w, h)) AS r_aspect,
+           (fmt <> 'gif') AS r_fmt,
+           (len(caption) >= 20 AND len(caption) <= 65) AS r_caption,
+           (nbytes * 50 >= w * h) AS r_bpp,
+           ((w >= 64 AND h >= 64)
+            AND (greatest(w, h) <= 3 * least(w, h))
+            AND (fmt <> 'gif')
+            AND (len(caption) >= 20 AND len(caption) <= 65)
+            AND (nbytes * 50 >= w * h)) AS passes_all
+    FROM m2
+    """,
+)
+def image_quality_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    w = F.lit(32) + hash60(F.concat(F.lit("w"), sid)) % 2048
+    h = F.lit(32) + hash60(F.concat(F.lit("h"), sid)) % 2048
+    cdiv = F.lit(1) + hash60(F.concat(F.lit("b"), sid)) % 64
+    fmt = (
+        F.when(F.col("doc_id") % 4 == 0, "jpeg")
+        .when(F.col("doc_id") % 4 == 1, "png")
+        .when(F.col("doc_id") % 4 == 2, "webp")
+        .otherwise("gif")
+    )
+    caption = F.concat_ws(" ", F.slice(_words(F.col("text")), 1, 12))
+    meta = d.select(
+        F.col("doc_id").alias("image_id"),
+        w.alias("w"),
+        h.alias("h"),
+        fmt.alias("fmt"),
+        cdiv.alias("cdiv"),
+        caption.alias("caption"),
+    ).withColumn("nbytes", F.expr("(w * h) div cdiv"))
+    cc = F.length("caption")
+    r_size = (F.col("w") >= 64) & (F.col("h") >= 64)
+    r_aspect = F.greatest("w", "h") <= 3 * F.least("w", "h")
+    r_fmt = F.col("fmt") != "gif"
+    r_caption = (cc >= 20) & (cc <= 65)
+    r_bpp = F.col("nbytes") * 50 >= F.col("w") * F.col("h")
+    return meta.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        "nbytes",
+        cc.cast("long").alias("caption_chars"),
+        r_size.alias("r_min_size"),
+        r_aspect.alias("r_aspect"),
+        r_fmt.alias("r_fmt"),
+        r_caption.alias("r_caption"),
+        r_bpp.alias("r_bpp"),
+        (r_size & r_aspect & r_fmt & r_caption & r_bpp).alias("passes_all"),
+    )
