@@ -105,6 +105,34 @@ elif job == "politeness":
     best = measure(run)
     print(json.dumps({"job": job, "cpus": cpus, "items": n_rows, "sec": best,
                       "per_sec": n_rows / best}))
+elif job == "minhash":
+    # the training-data dedup front half: shingle md5 hashing on flat
+    # post-explode columns + the 8-permutation minima as ONE
+    # partial-aggregatable groupBy (operators/minhash.py — shared by
+    # dedup_minhash_lsh, dedup_incremental, and the streaming ingest
+    # twin). CPU-heavy map (one md5 per shingle) + one slim shuffle:
+    # the corpus-pipeline analog of the extract ladder.
+    n_docs = 200_000
+    from web_scraper_spark.operators.minhash import minhash_bands
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array(*[
+                F.concat(F.lit("w"), ((F.col("id") * 31 + i * 7) % 5000).cast("string"))
+                for i in range(40)
+            ]),
+        ).alias("text"),
+    ).repartition(256).cache()
+    docs.count()
+    def run():
+        bands = minhash_bands(docs)
+        assert bands.count() == 8 * n_docs
+        # free the checkpoint between trials (fresh-state pricing)
+        bands.unpersist()
+    best = measure(run)
+    print(json.dumps({"job": job, "cpus": cpus, "items": n_docs, "sec": best,
+                      "per_sec": n_docs / best}))
 else:
     m_urls = 3_000_000
     from web_scraper_spark.operators.seen import BloomURLSeenSet
@@ -152,6 +180,7 @@ def main() -> None:
         ("extract", "extract", (1, 2, 4, 8, 32), ""),
         ("bloom", "bloom", (2, 8, 32), ""),
         ("politeness", "politeness", (2, 8, 32), ""),
+        ("minhash", "minhash", (1, 2, 4, 8, 32), ""),
     ]
     if tmpfs:
         ladders.append(("politeness_tmpfs", "politeness", (2, 8, 32), tmpfs))

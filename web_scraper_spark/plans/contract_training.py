@@ -3567,16 +3567,31 @@ def ann_pq_topk(spark, sf_dir):
         (F.col("vec_id") - 1).alias("k"), F.col("embedding").alias("c_emb")
     )
 
-    def dsub(a_col: str, m: int) -> Column:
+    # pre-quantize each side ONCE into flat integer columns (the q8
+    # round() is deterministic, so values are bit-identical to
+    # recomputing inside the product — the oracle still writes the
+    # inline form). Before this, the vector x codebook stage recomputed
+    # 128 round()/div/getItem per pair (16x redundant per corpus
+    # element, measured ~23 s at a 16k-vector corpus); the product
+    # stage is now pure flat-int subtract-square-sum.
+    def quantized(df, src_col: str, keep: list[str], prefix: str):
+        return df.crossJoin(F.broadcast(stats)).select(
+            *keep,
+            *[
+                _q8(F.col(src_col)[i], F.col("maxabs")).alias(f"{prefix}{i}")
+                for i in range(_QDIM)
+            ],
+        )
+
+    eq = quantized(
+        e.where(F.col("vec_id") != 0), "embedding", ["vec_id", "label"], "qa"
+    )
+    cbq = quantized(cb, "c_emb", ["k"], "qc")
+
+    def dsub_flat(a_pre: str, m: int) -> Column:
         terms = [
-            (
-                _q8(F.col(a_col)[m * _PQ_DSUB + j], F.col("maxabs"))
-                - _q8(F.col("c_emb")[m * _PQ_DSUB + j], F.col("maxabs"))
-            )
-            * (
-                _q8(F.col(a_col)[m * _PQ_DSUB + j], F.col("maxabs"))
-                - _q8(F.col("c_emb")[m * _PQ_DSUB + j], F.col("maxabs"))
-            )
+            (F.col(f"{a_pre}{m * _PQ_DSUB + j}") - F.col(f"qc{m * _PQ_DSUB + j}"))
+            * (F.col(f"{a_pre}{m * _PQ_DSUB + j}") - F.col(f"qc{m * _PQ_DSUB + j}"))
             for j in range(_PQ_DSUB)
         ]
         s = terms[0]
@@ -3585,14 +3600,12 @@ def ann_pq_topk(spark, sf_dir):
         return s
 
     enc = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(cb))
-        .crossJoin(F.broadcast(stats))
+        eq.crossJoin(F.broadcast(cbq))
         .select(
             "vec_id",
             "label",
             "k",
-            *[dsub("embedding", m).alias(f"d{m}") for m in range(_PQ_M)],
+            *[dsub_flat("qa", m).alias(f"d{m}") for m in range(_PQ_M)],
         )
     )
     codes = enc.groupBy("vec_id", "label").agg(
@@ -3602,10 +3615,9 @@ def ann_pq_topk(spark, sf_dir):
         ]
     )
     q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    adc = (
-        cb.crossJoin(F.broadcast(q))
-        .crossJoin(F.broadcast(stats))
-        .select("k", *[dsub("q_emb", m).alias(f"qd{m}") for m in range(_PQ_M)])
+    qq = quantized(q, "q_emb", [], "qa")
+    adc = cbq.crossJoin(F.broadcast(qq)).select(
+        "k", *[dsub_flat("qa", m).alias(f"qd{m}") for m in range(_PQ_M)]
     )
     codes_long = codes.select(
         "vec_id",
