@@ -4353,3 +4353,79 @@ def image_quality_filter(spark, sf_dir):
         r_bpp.alias("r_bpp"),
         (r_size & r_aspect & r_fmt & r_caption & r_bpp).alias("passes_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE training, driver-checkable form — 2 greedy merge rounds
+# over the corpus word vocabulary (operators/bpe.py is the general
+# n_merges operator, pinned against an independent pure-Python
+# reference in tests/test_bpe.py; this contract query unrolls exactly 2
+# rounds so DuckDB can mirror them as chained CTEs). The non-trivial
+# SQL piece is greedy LEFT-TO-RIGHT NON-OVERLAPPING merge application:
+# match positions form gaps-and-islands; within each island of
+# consecutive matches keep alternating positions ((i - island_start) %
+# 2 = 0), then rebuild the symbol list dropping position i+1 for every
+# kept i. Ties break (count DESC, 'a b' string ASC) on both engines.
+def _bpe_sql_round(n: int) -> str:
+    v, p, b, mm, k = f"v{n-1}", f"p{n}", f"b{n}", f"mm{n}", f"k{n}"
+    return f"""
+    {p} AS (
+      SELECT syms[i] || ' ' || syms[i+1] AS pair, sum(wcount) AS n
+      FROM (SELECT wcount, syms, unnest(range(1, len(syms))) AS i
+            FROM {v} WHERE len(syms) >= 2)
+      GROUP BY 1),
+    {b} AS (SELECT string_split(pair, ' ')[1] AS a,
+                   string_split(pair, ' ')[2] AS b
+            FROM {p} ORDER BY n DESC, pair ASC LIMIT 1),
+    {mm} AS (
+      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+      FROM (SELECT w, syms, unnest(range(1, len(syms))) AS i
+            FROM {v} WHERE len(syms) >= 2)
+      WHERE syms[i] = (SELECT a FROM {b}) AND syms[i+1] = (SELECT b FROM {b})),
+    {k} AS (
+      SELECT w, list(i) AS ks FROM (
+        SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS g0 FROM {mm})
+      WHERE (i - g0) % 2 = 0 GROUP BY w),
+    v{n} AS (
+      SELECT v.w, v.wcount,
+        list_transform(
+          list_filter(range(1, len(v.syms)+1),
+                      i -> NOT list_contains(coalesce(k.ks, []), i - 1)),
+          i -> CASE WHEN list_contains(coalesce(k.ks, []), i)
+                    THEN v.syms[i] || v.syms[i+1] ELSE v.syms[i] END) AS syms
+      FROM {v} v LEFT JOIN {k} k USING (w))"""
+
+
+@register(
+    "bpe_train_2merges",
+    f"""
+    WITH wc AS (
+      SELECT w, count(*) AS wcount
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+      GROUP BY w),
+    v0 AS (SELECT w, wcount, string_split(w, '') AS syms FROM wc),
+    {_bpe_sql_round(1)},
+    {_bpe_sql_round(2)}
+    SELECT w, wcount, array_to_string(syms, ' ') AS syms_str,
+           (SELECT a || '+' || b FROM b1) AS merge1,
+           (SELECT a || '+' || b FROM b2) AS merge2
+    FROM v2
+    """,
+)
+def bpe_train_2merges(spark, sf_dir):
+    from web_scraper_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wcount"))
+    )
+    merges, vocab = bpe_train(wc, 2)
+    return vocab.select(
+        "w",
+        "wcount",
+        F.array_join("syms", " ").alias("syms_str"),
+        F.lit("+".join(merges[0])).alias("merge1"),
+        F.lit("+".join(merges[1])).alias("merge2"),
+    )
