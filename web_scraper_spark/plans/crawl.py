@@ -53,6 +53,39 @@ FRONTIER_SCHEMA = (
     "caption string, priority double, round_offset long"
 )
 
+# Optional phase profiling (optimization-guide §1.5): set
+# SPARK_GRAFT_CRAWL_PROFILE=1 to print per-phase driver wall times.
+_PROFILE = bool(os.environ.get("SPARK_GRAFT_CRAWL_PROFILE"))
+
+
+class _phase:
+    _acc: dict[str, list[float]] = {}
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.monotonic()
+
+    def __exit__(self, *exc):
+        if _PROFILE:
+            dt = time.monotonic() - self.t0
+            self._acc.setdefault(self.name, []).append(dt)
+            print(f"[crawl-profile] {self.name}: {dt:.3f}s", flush=True)
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Total row count of a just-written parquet dir from file footers —
+    a driver-side metadata read (no Spark job)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in pathlib.Path(path).glob("*.parquet"):
+        total += pq.ParquetFile(str(f)).metadata.num_rows
+    return total
+
 
 @dataclass
 class CrawlResult:
@@ -68,7 +101,15 @@ def _seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
     """Seed stage (A1/B1/F1): CSV order, skip blanks, prepare, first-
     occurrence dedup, seed_idx = acceptance order."""
     rows = [(i, s) for i, s in enumerate(seeds)]
-    raw = spark.createDataFrame(rows, "row_idx long, raw string")
+    # scale-adaptive slicing (optimization guide §2): the default
+    # createDataFrame parallelizes into defaultParallelism slices, so a
+    # 300-row seed list becomes 32 near-empty partitions and every map
+    # stage over it pays 32 task launches. Slice by row count instead;
+    # large seed lists still fan out to full parallelism.
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 2048))
+    raw = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), "row_idx long, raw string"
+    )
     from web_scraper_spark.functions.urls import strip_ws
 
     prepared = (
@@ -474,12 +515,13 @@ def run_crawl(
         for t in (frontier_t, log_t, extracted_t, records_t, images_t,
                   discovered_t, seen.table, robots_t):
             t.reset()
-        seeds_df = _with_priority(
-            _seed_frontier_from_table(spark, seed_table)
-            if seed_table is not None
-            else _seed_frontier(spark, seeds),
-            priority_expr,
-        ).cache()
+        with _phase("seed_frontier"):
+            seeds_df = _with_priority(
+                _seed_frontier_from_table(spark, seed_table)
+                if seed_table is not None
+                else _seed_frontier(spark, seeds),
+                priority_expr,
+            ).cache()
         if ingest_sitemaps and robots_rules is not None and web is not None:
             # graft: robots-advertised sitemaps seed extra depth-0 pages,
             # attributed to the seed of the SAME host (hosts with no seed
@@ -546,8 +588,10 @@ def run_crawl(
             else:
                 seen.add(seeds_df.select("url"))
         else:
-            discovered_t.append(seeds_df.select("url"))
-        active_dirs = _stage_depth(seeds_df)
+            with _phase("seed_discovered_append"):
+                discovered_t.append(seeds_df.select("url"))
+        with _phase("stage_depth0"):
+            active_dirs = _stage_depth(seeds_df)
         staged_dirs = []
         round_no = 0
         depth_now = 0
@@ -556,7 +600,8 @@ def run_crawl(
         if not active_dirs:
             if not staged_dirs:
                 break
-            active_dirs = _stage_depth(spark.read.parquet(*staged_dirs))
+            with _phase("stage_depth"):
+                active_dirs = _stage_depth(spark.read.parquet(*staged_dirs))
             staged_dirs = []
             depth_now += 1  # staged rows are always depth_now + 1
             # robots filtering may have emptied the whole staged depth —
@@ -566,6 +611,9 @@ def run_crawl(
         # IS row emptiness — the old per-round isEmpty() jobs are gone
         cur_offset = min(active_dirs)
         current = spark.read.parquet(active_dirs[cur_offset])
+        # round size, from parquet footers (driver-side, ~ms): drives the
+        # scale-adaptive partition sizing below
+        cur_rows = _parquet_num_rows(active_dirs[cur_offset])
 
         # ---- fetch + route --------------------------------------------
         if live:
@@ -592,7 +640,8 @@ def run_crawl(
         log_w = Window.partitionBy("round", "depth", "seed_idx", "url").orderBy(
             "partition_id"
         )
-        log_t.append(
+        with _phase("log_append"):
+         log_t.append(
             fetched.select(
                 F.lit(round_no).alias("round"),
                 F.col("depth"),
@@ -607,7 +656,7 @@ def run_crawl(
                 F.lit(float(time.time())).alias("ts"),
             ).withColumn("attempt_no", F.row_number().over(log_w)),
             tag=None,
-        )
+         )
         # ---- optional WARC archive of this round's fetches -------------
         # Reads the cached `fetched` like the log/extract actions above;
         # one .warc.gz per partition, idempotent under resume (the round
@@ -638,20 +687,41 @@ def run_crawl(
                 F.col("body").cast("string"),
                 F.when(F.col("depth") > 0, F.col("url")).otherwise(F.lit("")),
             ).alias("ex"),
-        ).select("seed_idx", "seed_url", "depth", "url", "ex.*").cache()
+        ).select("seed_idx", "seed_url", "depth", "url", "ex.*")
+        if not dedup_contacts:
+            # parity mode: materialize the slim extracted rows into a
+            # row-count-derived number of partitions (AQE cannot coalesce
+            # inside a cached plan — canChangeCachedPlanOutputPartitioning
+            # is off — so an explicit scale-adaptive repartition does the
+            # sizing): the 4+ downstream scans per round (record log,
+            # contact/image explodes, staging) then run over a handful of
+            # right-sized partitions instead of re-walking the UDF
+            # stage's 32 near-empty ones (guide §2/§6). The UDF stage
+            # itself keeps its full input parallelism — repartition is a
+            # post-UDF exchange of slim rows only. Dedup mode keeps the
+            # original partitioning: its dropDuplicates(["url"]) keeps
+            # the first row per url, and perturbing partitioning upstream
+            # of it could change WHICH duplicate survives (parity-pinned).
+            n_slim = max(1, min(
+                spark.sparkContext.defaultParallelism, cur_rows // 2048
+            ))
+            extracted = extracted.repartition(n_slim)
+        extracted = extracted.cache()
 
         # ---- log extracted records (merged once after the loop: the
         # per-round log is what checkpoints; the final MERGE is a single
         # keyed aggregation instead of rounds x full-table rewrites) ----
-        extracted_t.append(
-            extracted.select(
-                "depth", "seed_idx", "seed_url",
-                "phone_numbers", "social_media_links", "addresses",
+        with _phase("extract_append"):
+            extracted_t.append(
+                extracted.select(
+                    "depth", "seed_idx", "seed_url",
+                    "phone_numbers", "social_media_links", "addresses",
+                )
             )
-        )
 
         # ---- land images (graft route; reference drops these) ---------
-        if not image_ok.isEmpty():
+        with _phase("images"):
+         if not image_ok.isEmpty():
             landed = land_images(image_ok.select("url", "caption", "body"))
             existing = images_t.read()
             if existing is not None:
@@ -708,7 +778,8 @@ def run_crawl(
             # Appended UNCONDITIONALLY: a pre-write isEmpty() probe costs
             # the same driver job as writing an empty delta, and nonempty
             # rounds (the common case) save the probe entirely
-            discovered_t.append(discovered.select("url"))
+            with _phase("discovered_append"):
+                discovered_t.append(discovered.select("url"))
         next_depth = _with_priority(
             discovered.select(
                 "url", "host",
@@ -717,10 +788,21 @@ def run_crawl(
             ),
             priority_expr,
         )
-        if not next_depth.isEmpty():
+        with _phase("stage_next"):
             # one delta dir per producing round — staged rows are written
-            # exactly once, never rewritten
-            staged_dirs.append(frontier_t.write_data(next_depth))
+            # exactly once, never rewritten. Written unconditionally, then
+            # emptiness is read off the parquet footers driver-side (~ms):
+            # the old isEmpty() pre-probe was a full extra Spark job per
+            # round re-walking the discovery subtree (guide §1.2 — fewer
+            # passes). An empty delta dir is uncommitted, so removing it
+            # leaves no orphan.
+            path = frontier_t.write_data(next_depth)
+            if _parquet_num_rows(path) > 0:
+                staged_dirs.append(path)
+            else:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
 
         # ---- checkpoint: manifest-only commit (remaining round dirs +
         # staged deltas + resume metadata) under one tag ------------------
@@ -761,9 +843,17 @@ def run_crawl(
     # ---- post-loop housekeeping: compact the append-heavy tables so the
     # next epoch (or resume) reads one file set per table. The seen set
     # owns its compaction (exact mode dedups on (hash, url) there) -------
-    for t in (log_t, extracted_t, discovered_t):
-        t.compact()
-    seen.compact()
+    with _phase("compact"):
+        # four independent single-writer tables: overlap their compaction
+        # jobs so the tail tasks of one backfill the others' idle cores
+        # (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(t.compact) for t in (log_t, extracted_t, discovered_t)]
+            futs.append(pool.submit(seen.compact))
+            for f in futs:
+                f.result()
     if expire_history:
         # reclaim expired history + its data dirs (Iceberg
         # expire_snapshots analog): every returned DataFrame reads a
@@ -771,14 +861,16 @@ def run_crawl(
         # preserved, so nothing observable changes — only disk. At
         # hundreds of politeness rounds the consumed round dirs are the
         # dominant leftover storage.
-        for t in (frontier_t, log_t, extracted_t, discovered_t,
-                  images_t, records_t, robots_t, seen.table):
-            t.expire_snapshots(keep_last=1)
+        with _phase("expire"):
+            for t in (frontier_t, log_t, extracted_t, discovered_t,
+                      images_t, records_t, robots_t, seen.table):
+                t.expire_snapshots(keep_last=1)
 
     # ---- one-shot records MERGE over the full extracted log ------------
-    all_extracted = extracted_t.read()
-    if all_extracted is not None and not all_extracted.isEmpty():
-        merge_company_records(records_t, _prepare_record_batch(all_extracted))
+    with _phase("records_merge"):
+        all_extracted = extracted_t.read()
+        if all_extracted is not None and not all_extracted.isEmpty():
+            merge_company_records(records_t, _prepare_record_batch(all_extracted))
 
     # ---- names side-input MERGE (SURVEY.md §3.2, scalars last) --------
     if names_rows:

@@ -269,7 +269,12 @@ def web_host_df(spark, n_domains: int = 40, seed: int = SEED):
         ]
     )
     rows = [(r.url, r.host, r.depth, r.status, r.content_type, r.body) for r in web]
-    return spark.createDataFrame(rows, schema)
+    # size-adaptive slicing: ~512 pages per partition instead of always
+    # defaultParallelism slices — a 1.2k-page fixture otherwise becomes 32
+    # near-empty partitions and every scan of the cached web pays 32 task
+    # launches (optimization guide §2; values and row order unchanged)
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 512))
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n_slices), schema)
 
 
 def verify_image_row(image_id: str, body: bytes, caption: str, expected_caption: str):

@@ -232,9 +232,16 @@ class SnapshotTable:
         the rewrite — for append-only tables whose appends are idempotent
         by key (e.g. the URL-seen table, re-appended on every resume),
         compaction is where the duplicates actually collapse."""
-        df = self.read()
-        if df is None:
+        dirs = self._current_dirs()
+        if not dirs:
             return
+        if dedup_cols is None and len(dirs) == 1:
+            # already one directory and no logical-key dedup requested:
+            # rewriting it would cost a full read+write job for an
+            # identical snapshot (guide §1.2 — don't do passes that
+            # change nothing)
+            return
+        df = self.read()
         if dedup_cols:
             df = df.dropDuplicates(dedup_cols)
         manifest = self._read_manifest()
