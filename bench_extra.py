@@ -59,7 +59,10 @@ def expand_corpus(spark, sf_dir: str, out_dir: str) -> None:
         src = os.path.join(sf_dir, name)
         dst = os.path.join(out_dir, name)
         if name.endswith(".parquet") and not os.path.exists(dst):
-            shutil.copytree(src, dst)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy2(src, dst)
 
 
 def main() -> None:

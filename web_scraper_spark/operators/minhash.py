@@ -58,7 +58,17 @@ def minhash_bands(
     4.2 -> 2.5 s at sf0.1). The table is (id, band, minhash) only —
     never document text — so the checkpoint stays small at any corpus
     size."""
-    words = d.select(doc_col, words_of(F.col(text_col)).alias("words"))
+    src = d.select(doc_col, text_col)
+    # r6 scan-parallelism floor (optimization guide §6): the per-shingle
+    # md5 below is far heavier than the scan's byte cost, and a small
+    # compressed corpus file splits into 1-2 partitions, single-threading
+    # the whole shingle stage. No-op when the scan already meets the
+    # session parallelism (always true at cluster scale). Values exact —
+    # shingle hashes are per-row and the min() aggregates are integer.
+    from web_scraper_spark.plans.contract import _floor_parallelism
+
+    src = _floor_parallelism(src)
+    words = src.select(doc_col, words_of(F.col(text_col)).alias("words"))
     flat = words.select(
         doc_col,
         "words",

@@ -24,7 +24,12 @@ def gopher_report(
 ) -> DataFrame:
     """Per-doc rule report: (doc_col, n_words, n_distinct,
     max_word_count, r_* flags, passes_all)."""
-    toks = d.select(
+    # r6 scan-parallelism floor (guide §6): the explode + (doc, word)
+    # groupBy dominate the scan's byte cost; a small compressed corpus
+    # otherwise single-threads the stage. No-op on well-split inputs.
+    from web_scraper_spark.plans.contract import _floor_parallelism
+
+    toks = _floor_parallelism(d.select(doc_col, text_col)).select(
         doc_col, F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("w")
     )
     wc = toks.groupBy(doc_col, "w").agg(F.count("*").alias("cnt"))

@@ -28,6 +28,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _floor_parallelism(df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for compute-heavy subtrees (optimization
+    guide §6: ``spark.sql.files.minPartitionNum`` semantics, applied
+    adaptively). Small-but-dense tables (a few MB of compressed text or
+    packed vectors) split into 1-2 byte-sized scan partitions, and any
+    per-row-heavy map work downstream (per-gram md5, 64-dim distance
+    math) then runs on 1-2 of the available cores. If the scan already
+    meets the session's parallelism — always true at cluster scale, where
+    inputs carry thousands of splits — this is a no-op and nothing extra
+    is shuffled. Values are unchanged: only partitioning moves."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    # below ~2 MB of input the repartition's fixed cost (a shuffle plus
+    # n-task stages) exceeds what single-digit-MB compute saves — leave
+    # tiny inputs alone (measured: flooring the sf0.1 minhash shingle
+    # stage cost +0.3 s; flooring the 4 MB bench corpus saved 9 s)
+    try:
+        import os
+
+        bytes_in = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except Exception:  # non-file-backed plan: assume big enough
+        bytes_in = None
+    if bytes_in is not None and bytes_in < (2 << 20):
+        return df
+    return df.repartition(n)
+
+
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 

@@ -31,6 +31,7 @@ from web_scraper_spark.operators.minhash import (
 from web_scraper_spark.operators.similarity import cosine, neardup_pairs
 from web_scraper_spark.plans.contract import (
     ORACLES, QUERIES, register, _t, _dec, _disc_rev, _money,
+    _floor_parallelism,
 )
 
 
@@ -1747,7 +1748,15 @@ def ann_ivf_scaled(spark, sf_dir):
     # higher-order functions) — lazily it re-ran per scan, dominating the
     # wall at a 256k-vector corpus. At real scale the corpus is a stored
     # table, which is exactly what the checkpoint emulates.
-    e = e.localCheckpoint(eager=True)
+    # r6: parallelism floor BEFORE the checkpoint — the embeddings file
+    # splits into a single byte-sized scan partition, so the interpreted
+    # expansion AND every downstream assign's 64-dim distance map ran on
+    # one core (measured 13.2 -> 9.1 s at 256k vectors; values exact —
+    # only partitioning moves). Two literal-centroid map-side assignment
+    # rewrites (plain and 8-term-staged partial sums) were measured at
+    # 24-29 s with janino 64KB codegen fallbacks and REVERTED — the
+    # broadcast-crossJoin + min_by groupBy form stays the winner.
+    e = _floor_parallelism(e).localCheckpoint(eager=True)
 
     def assign(df, cents):
         # min_by argmin, ties to low cid — see ann_ivf_kmeans.assign:
@@ -2327,7 +2336,10 @@ def doc_pagerank(spark, sf_dir):
     """,
 )
 def decontaminate_ngrams(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     grams = F.transform(_shingles(_words(F.col("text"))), lambda s: hash60(s) % _MERSENNE)
     g = d.select("doc_id", F.explode(grams).alias("gh"))
     bench = (
@@ -2393,7 +2405,14 @@ def dedup_passages(spark, sf_dir):
     # subtree (dup / per_doc / totals each re-exploded + re-hashed).
     # Values are identical to the original 3-scan plan (integer counts).
     d = _t(spark, sf_dir, "documents")
-    words = d.select("doc_id", _words(F.col("text")).alias("words"))
+    # r6: scan-parallelism floor — the per-gram md5 below is ~50x the
+    # scan's byte cost, and the compressed corpus file splits into only
+    # 1-2 partitions, single-threading the whole gram stage (measured
+    # 12.0 -> 3.1 s at the 160k-doc bench corpus; no-op on well-split
+    # inputs). Values identical: grams/hashes are per-row.
+    words = _floor_parallelism(d.select("doc_id", "text")).select(
+        "doc_id", _words(F.col("text")).alias("words")
+    )
     g = (
         words.select(
             "doc_id",
@@ -2452,8 +2471,21 @@ def _bm25_ranked(spark, sf_dir):
         F.count("*").cast("double").alias("n"),
         F.avg(F.size("words")).alias("avgdl"),
     )
+    # r6: superset substring pre-filter before the tokenize+explode — a
+    # doc can only contribute a query token if that token appears as a
+    # substring of its raw text, so contains() drops non-candidates
+    # before the expensive split/explode and the exact isin() keeps the
+    # values identical (measured 3.1 -> 2.0 s at the 160k-doc corpus
+    # even at 96% match rate; the win grows as the query vocabulary gets
+    # rarer, which is the production case).
+    anyterm = None
+    for _term in _BM25_TERMS:
+        _c = F.col("text").contains(_term)
+        anyterm = _c if anyterm is None else (anyterm | _c)
     tf = (
-        docs.select("doc_id", F.explode("words").alias("token"))
+        d.select("doc_id", "text")
+        .where(anyterm)
+        .select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
         .where(F.col("token").isin(*_BM25_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("double").alias("tf"))
@@ -2614,7 +2646,10 @@ def hybrid_search_rrf(spark, sf_dir):
     """,
 )
 def text_repetition_score(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     words = d.select("doc_id", _words(F.col("text")).alias("words"))
     g = (
         words.select(
@@ -2670,7 +2705,10 @@ _PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
     """,
 )
 def text_scrub_pii(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     injected = d.select(
         "doc_id",
         F.concat(
@@ -2751,7 +2789,10 @@ _LINE_BOILER = "subscribe to our newsletter today for free offers"
     """,
 )
 def dedup_line_scrub(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id",
         _words(
@@ -2923,7 +2964,10 @@ def ann_int8_topk(spark, sf_dir):
     """,
 )
 def text_unigram_rarity(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(
@@ -2997,7 +3041,9 @@ def decontaminate_semantic(spark, sf_dir):
         F.col("vec_id").alias("bench_id"), F.col("embedding").alias("b_emb")
     )
     scored = (
-        e.where(~F.col("vec_id").isin(*_DECON_BENCH_IDS))
+        # r6 scan-parallelism floor: the 64-dim cosine map below is far
+        # heavier than the packed-vector scan's bytes (guide §6)
+        _floor_parallelism(e.where(~F.col("vec_id").isin(*_DECON_BENCH_IDS)))
         .crossJoin(F.broadcast(bench))
         .select(
             "vec_id",
@@ -3279,7 +3325,10 @@ _CDC_MOD = 16
     """,
 )
 def dedup_cdc_chunks(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     words = d.select("doc_id", _words(F.col("text")).alias("words"))
     pos = words.select(
         "doc_id",
@@ -3583,8 +3632,13 @@ def ann_pq_topk(spark, sf_dir):
             ],
         )
 
+    # r6: parallelism floor on the corpus side only — the packed-vector
+    # file splits into one byte-sized scan partition, so the 64-column
+    # quantize + the 2M-row subspace-distance map below otherwise run on
+    # one core (guide §6; values exact — all-integer after quantization)
     eq = quantized(
-        e.where(F.col("vec_id") != 0), "embedding", ["vec_id", "label"], "qa"
+        _floor_parallelism(e.where(F.col("vec_id") != 0)),
+        "embedding", ["vec_id", "label"], "qa"
     )
     cbq = quantized(cb, "c_emb", ["k"], "qc")
 
@@ -3730,7 +3784,10 @@ def gopher_quality_filter(spark, sf_dir):
     """,
 )
 def decontaminate_spans(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     words = d.select("doc_id", _words(F.col("text")).alias("words"))
     g = words.select(
         "doc_id",
@@ -3826,7 +3883,10 @@ _CONTAIN_MIN_SHARED = 4
     """,
 )
 def text_containment_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     snippets = d.where(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(_words(F.col("text")), 1, 12)).alias("text"),
@@ -3945,7 +4005,10 @@ _C4_MIN_KEPT = 3
     """,
 )
 def c4_quality_filter(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     words = d.select("doc_id", _words(F.col("text")).alias("words"))
     segs = (
         words.select(
@@ -4048,7 +4111,10 @@ def c4_quality_filter(spark, sf_dir):
     """,
 )
 def bpe_pair_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # r6 scan-parallelism floor (guide §6): per-row compute here
+    # dwarfs the scan's byte cost and the compressed corpus file
+    # splits into 1-2 partitions; no-op on well-split inputs
+    d = _floor_parallelism(_t(spark, sf_dir, "documents"))
     wc = (
         d.select(F.explode(_words(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -4130,15 +4196,26 @@ _DSIR_SCALE = 10000
 )
 def dsir_importance(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode(_words(F.col("text"))).alias("w")
-    ).select("doc_id", "lang", (hash60(F.col("w")) % _DSIR_BUCKETS).alias("b"))
-    # materialize the 4,096-row bucket table once: without it Spark
-    # re-derives it (one full corpus scan each) for the totals AND the
-    # weights — with it, the whole query is exactly two corpus passes
+    # r6 (VERDICT r5 item 5): materialize the hashed token-bucket
+    # projection ONCE — previously both corpus passes (bucket counts AND
+    # the final score join) re-exploded the text and recomputed ~9M
+    # per-token md5s each. The checkpoint holds (doc_id, b, is_target):
+    # three narrow columns, far cheaper than a second text scan + hash
+    # pass. The scan-parallelism floor matters here for the same reason
+    # as dedup_passages (per-token md5 dwarfs the scan's byte cost).
+    toks = (
+        _floor_parallelism(d.select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", F.explode(_words(F.col("text"))).alias("w"))
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_t"),
+            (hash60(F.col("w")) % _DSIR_BUCKETS).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
     cb = toks.groupBy("b").agg(
         F.count("*").alias("c_raw"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_target"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("c_target"),
     ).localCheckpoint(eager=True)
     n = cb.agg(
         F.sum("c_raw").alias("n_raw"), F.sum("c_target").alias("n_target")
