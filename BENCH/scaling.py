@@ -129,7 +129,8 @@ elif job == "minhash":
         bands = minhash_bands(docs)
         assert bands.count() == 8 * n_docs
         # free the checkpoint between trials (fresh-state pricing)
-        bands.unpersist()
+        from web_scraper_spark.operators.minhash import release_bands
+        release_bands(bands)
     best = measure(run)
     print(json.dumps({"job": job, "cpus": cpus, "items": n_docs, "sec": best,
                       "per_sec": n_docs / best}))

@@ -78,7 +78,8 @@ def export_corpus(spark, data_dir: str, outdir: str, shards: int = 8) -> dict:
         .select("doc_id")
     )
     survivors = reps.join(keepers, "doc_id")
-    bands.unpersist()
+    from web_scraper_spark.operators.minhash import release_bands
+    release_bands(bands)
     n_neardup = survivors.count()
 
     # 3) Gopher quality gate

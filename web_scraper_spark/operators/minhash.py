@@ -88,12 +88,36 @@ def minhash_bands(
             for i, (a, b) in enumerate(BAND_COEF)
         ]
     )
-    return mins.select(
+    out = mins.select(
         doc_col,
         F.posexplode(
             F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)])
         ).alias("band", "minhash"),
     ).localCheckpoint(eager=True)
+    # r6 (ADVICE r5): DataFrame.unpersist() is a no-op on a
+    # localCheckpoint'ed frame (checkpoint RDDs are not in the cache
+    # manager), so callers that price fresh state per trial/batch need a
+    # real handle. Reuse the politeness release-handle pattern: grab the
+    # checkpointed JVM RDD off the LogicalRDD leaf now; release_bands()
+    # frees the blocks deterministically. Falls back to ContextCleaner
+    # GC if Spark internals move.
+    from web_scraper_spark.operators.politeness import PolitenessCheckpoint
+
+    try:
+        leaf = out._jdf.queryExecution().analyzed().collectLeaves().apply(0)
+        out._bands_ckpt = PolitenessCheckpoint(leaf.rdd())
+    except Exception:  # pragma: no cover — Spark-internals drift
+        out._bands_ckpt = PolitenessCheckpoint()
+    return out
+
+
+def release_bands(bands: DataFrame) -> None:
+    """Free the localCheckpoint blocks behind a ``minhash_bands`` result
+    (``DataFrame.unpersist()`` cannot — see note above). Call only once
+    the bands are durably consumed; later actions fail loudly."""
+    handle = getattr(bands, "_bands_ckpt", None)
+    if handle is not None:
+        handle.release()
 
 
 def band_pairs(bands: DataFrame, doc_col: str = "doc_id") -> DataFrame:

@@ -3256,17 +3256,29 @@ def dedup_incremental(spark, sf_dir):
     mh = _minhash_bands(d)
     new = mh.where(F.col("doc_id") % 3 == 0).alias("n")
     old = mh.where(F.col("doc_id") % 3 != 0).alias("o")
-    return (
+    # r6: dedupe (new, old) pairs with a plain two-key groupBy FIRST,
+    # then count/min over the distinct pairs — identical values to the
+    # old countDistinct+min mixed aggregate, but without the Expand
+    # operator that mixed distinct/non-distinct aggregation inserts
+    # (it doubled the ~47M joined band rows at the bench corpus;
+    # measured 12.1 -> 11.0 s — the remaining cost is the inherent
+    # LSH bucket fan-out the 32x-replica bench corpus stresses).
+    pairs = (
         new.join(
             old,
             (F.col("n.band") == F.col("o.band"))
             & (F.col("n.minhash") == F.col("o.minhash")),
         )
-        .groupBy(F.col("n.doc_id").alias("new_doc"))
-        .agg(
-            F.countDistinct(F.col("o.doc_id")).alias("n_old_matches"),
-            F.min(F.col("o.doc_id")).alias("first_old_match"),
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("o.doc_id").alias("old_doc"),
         )
+        .groupBy("new_doc", "old_doc")
+        .agg(F.lit(1).alias("_one"))
+    )
+    return pairs.groupBy("new_doc").agg(
+        F.count("*").alias("n_old_matches"),
+        F.min("old_doc").alias("first_old_match"),
     )
 
 
